@@ -1,0 +1,114 @@
+"""Benchmark harness — north-star metric: EELUnet images/sec/chip at 512x512
+inference (BASELINE.json), vs a CPU baseline of the same model (>=5x target).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline = TPU images/sec / CPU images/sec (CPU measured in a subprocess on
+the same JAX graph; cached in .bench_cpu_baseline.json because the CPU number
+is a property of the host, not of TPU-side changes).
+
+Extra detail (per-model 256/512 sweeps) goes to stderr / BENCH_DETAIL.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+IMAGE = 512
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+CPU_ITERS = 2
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
+
+
+def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, dtype: str = "bfloat16") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from eelunet_tpu.config import ModelConfig
+    from eelunet_tpu.registry import create_model, seg_probabilities
+
+    model, meta = create_model(ModelConfig(name=model_name, dtype=dtype))
+    x = jnp.zeros((batch, image, image, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def forward(params, batch_stats, images):
+        vs = {"params": params}
+        if batch_stats:
+            vs["batch_stats"] = batch_stats
+        out = model.apply(vs, images, train=False)
+        return seg_probabilities(out, meta)
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    for _ in range(warmup):
+        forward(params, batch_stats, x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        forward(params, batch_stats, x).block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _cpu_baseline() -> float:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["images_per_sec"]
+    code = (
+        "import json,sys;sys.path.insert(0, %r);import bench;"
+        "print(json.dumps({'images_per_sec': bench._measure('eelunet', %d, 1, %d, 1, 'float32')}))"
+        % (os.path.dirname(os.path.abspath(__file__)), IMAGE, CPU_ITERS)
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=3000
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    val = json.loads(line)["images_per_sec"]
+    with open(CACHE, "w") as f:
+        json.dump({"images_per_sec": val}, f)
+    return val
+
+
+def main():
+    detail = {}
+    tpu_ips = _measure("eelunet", IMAGE, BATCH, ITERS, WARMUP, "bfloat16")
+    detail[f"eelunet_{IMAGE}_bf16"] = tpu_ips
+    try:
+        cpu_ips = _cpu_baseline()
+    except Exception as e:  # CPU baseline is best-effort
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        cpu_ips = None
+    detail["cpu_eelunet_512_f32"] = cpu_ips
+
+    # Secondary sweep at 256 for the lightweight families (stderr detail only).
+    for name in ("unet", "egeunet", "unext", "malunet"):
+        try:
+            detail[f"{name}_256_bf16"] = _measure(name, 256, BATCH, 10, 2, "bfloat16")
+        except Exception as e:
+            detail[f"{name}_256_bf16"] = f"error: {e}"
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail, indent=2), file=sys.stderr)
+
+    vs = (tpu_ips / cpu_ips) if cpu_ips else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "eelunet_512x512_inference",
+                "value": round(tpu_ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Shared CLI plumbing: argparse -> TrainConfig with dotted overrides."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+from eelunet_tpu.config import TrainConfig, apply_overrides, config_from_json
+from eelunet_tpu.data.dataset import SegmentationFolderDataset, train_val_split
+from eelunet_tpu.data.pipeline import DataLoader
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config", type=str, default="", help="JSON config file")
+    p.add_argument("--model_type", type=str, default=None,
+                   choices=["unet", "eelunet", "unet++", "egeunet", "unext", "unext_s", "malunet"])
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. --set optimizer.lr=3e-4")
+    return p
+
+
+def load_config(args) -> TrainConfig:
+    if args.config:
+        with open(args.config) as f:
+            cfg = config_from_json(f.read())
+    else:
+        cfg = TrainConfig()
+    ov = list(args.set)
+    if args.model_type is not None:
+        ov.append(f"model.name={args.model_type}")
+    if args.data_dir is not None:
+        ov.append(f"data.data_dir={args.data_dir}")
+    if args.batch_size is not None:
+        ov.append(f"data.batch_size={args.batch_size}")
+    if args.image_size is not None:
+        ov.append(f"data.image_size=[{args.image_size},{args.image_size}]")
+    if args.seed is not None:
+        ov.append(f"seed={args.seed}")
+    return apply_overrides(cfg, ov)
+
+
+def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]:
+    """train/val/test loaders with the reference's 90/10 split of the train
+    dir and a separate test dir (train.py:255-265)."""
+    d = cfg.data
+    full = SegmentationFolderDataset(
+        d.data_dir, "train", d.image_size, d.normalize_mean, d.normalize_std
+    )
+    seed = cfg.seed if cfg.seed is not None else 0
+    tr_idx, va_idx = train_val_split(len(full), d.val_fraction, seed)
+    test = SegmentationFolderDataset(
+        d.data_dir, "test", d.image_size, d.normalize_mean, d.normalize_std
+    )
+    mk = lambda ds, idx, shuffle: DataLoader(
+        ds, d.batch_size, shuffle=shuffle, seed=seed,
+        drop_remainder=d.drop_remainder and shuffle, num_workers=d.num_workers, indices=idx,
+    )
+    return (
+        mk(full, tr_idx, True),
+        mk(full, va_idx, False),
+        mk(test, None, False),
+    )

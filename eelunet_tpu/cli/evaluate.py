@@ -1,0 +1,55 @@
+"""Evaluation entry point (reference evaluate.py:126-203): loads a checkpoint
+(or warns and evaluates untrained, evaluate.py:172-176) and prints the 9
+metrics."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from eelunet_tpu.cli.common import base_parser, load_config
+from eelunet_tpu.data.dataset import SegmentationFolderDataset
+from eelunet_tpu.data.pipeline import DataLoader
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.train.trainer import Trainer
+
+
+def main(argv=None):
+    p = base_parser("Evaluate segmentation model and output metrics")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--checkpoint", type=str, default="")
+    args = p.parse_args(argv)
+    cfg = load_config(args)
+
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state = trainer.ckpt.restore_params(args.checkpoint, state)
+        print(f"Loaded model weights from {args.checkpoint}")
+    elif args.checkpoint:
+        print(f"Checkpoint not found at {args.checkpoint}. Evaluating untrained model.")
+
+    d = cfg.data
+    ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
+    loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers)
+
+    print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
+    print(f"Model: {cfg.model.name}")
+    m = trainer.evaluate(state, loader)
+    print("Evaluation Metrics:")
+    print(f"Pixel Accuracy: {m['pixel_accuracy']:.4f}")
+    print(f"Precision: {m['precision']:.4f}")
+    print(f"Recall: {m['recall']:.4f}")
+    print(f"F1 Score: {m['f1_score']:.4f}")
+    print(f"IoU (foreground): {m['iou']:.4f}")
+    print(f"Dice Coefficient (foreground): {m['dice']:.4f}")
+    print(f"Mean IoU: {m['miou']:.4f}")
+    print(f"Boundary F1 Score: {m['boundary_f1']:.4f}")
+    print(f"mDice: {m['mdice']:.4f}")
+    return m
+
+
+if __name__ == "__main__":
+    main()

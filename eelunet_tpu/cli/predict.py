@@ -1,0 +1,78 @@
+"""Inference + PNG mask export (reference test.py:33-128).
+
+Differences from the reference, normalized: the reference thresholds raw
+outputs at 0.5 without applying sigmoid for logit-output models (test.py:
+117-118 — wrong for unet/unext); here ``seg_probabilities`` handles the
+output convention per model. Masks are written as L-mode PNGs ``pred_{i}.png``
+into a timestamped directory, as in test.py:98-127.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from eelunet_tpu.cli.common import base_parser, load_config
+from eelunet_tpu.data.dataset import SegmentationFolderDataset
+from eelunet_tpu.data.pipeline import DataLoader, prefetch_to_device
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.registry import seg_probabilities
+from eelunet_tpu.train.trainer import Trainer
+
+
+def save_mask(pred01: np.ndarray, path: str):
+    """Binary (H,W) array -> L-mode PNG (test.py:23-31)."""
+    from PIL import Image
+
+    Image.fromarray((pred01 * 255).astype(np.uint8), mode="L").save(path)
+
+
+def main(argv=None):
+    p = base_parser("Run inference and export predicted masks as PNGs")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--results_dir", type=str, default="results")
+    args = p.parse_args(argv)
+    cfg = load_config(args)
+
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state()
+    if not os.path.exists(args.checkpoint):
+        raise FileNotFoundError(f"Checkpoint not found: {args.checkpoint}")  # test.py:86
+    state = trainer.ckpt.restore_params(args.checkpoint, state)
+
+    d = cfg.data
+    ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
+    loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
+
+    out_dir = os.path.join(args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    model, meta = trainer.model, trainer.meta
+    has_bs = True
+
+    @jax.jit
+    def forward(params, batch_stats, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, images, train=False)
+        return seg_probabilities(out, meta)
+
+    i = 0
+    for images, _ in loader:
+        probs = np.asarray(forward(state.params, state.batch_stats, images))
+        preds = (probs > cfg.threshold).astype(np.float32)
+        for b in range(preds.shape[0]):
+            save_mask(preds[b, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"))
+            i += 1
+    print(f"Saved {i} masks to {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

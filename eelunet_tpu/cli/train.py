@@ -1,0 +1,61 @@
+"""Training entry point (reference train.py:217-319).
+
+    python -m eelunet_tpu.cli.train --model_type eelunet --data_dir /data/tooth \
+        --set epochs=100 --set optimizer.lr=1e-4
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from eelunet_tpu.cli.common import base_parser, build_loaders, load_config
+from eelunet_tpu.config import config_to_json
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.train.trainer import Trainer
+
+
+def main(argv=None):
+    p = base_parser("Train segmentation model with edge supervision (TPU-native)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--lambda_edge", type=float, default=None)
+    p.add_argument("--resume", type=str, default=None, help="checkpoint path for full-state resume")
+    args = p.parse_args(argv)
+
+    ov = []
+    if args.epochs is not None:
+        ov.append(f"epochs={args.epochs}")
+    if args.lr is not None:
+        ov.append(f"optimizer.lr={args.lr}")
+    if args.save_dir is not None:
+        ov.append(f"save_dir={args.save_dir}")
+    if args.log_dir is not None:
+        ov.append(f"log_dir={args.log_dir}")
+    if args.lambda_edge is not None:
+        ov.append(f"loss.lambda_edge={args.lambda_edge}")
+    if args.resume is not None:
+        ov.append(f"resume_from={args.resume}")
+    args.set = list(args.set) + ov
+    cfg = load_config(args)
+
+    if cfg.seed is None:
+        seed = int(np.random.randint(0, 10000))
+        print(f"Using seed: {seed}")  # reference set_seed (train.py:24-27)
+        from eelunet_tpu.config import apply_overrides
+
+        cfg = apply_overrides(cfg, [f"seed={seed}"])
+
+    print(config_to_json(cfg))
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
+
+    trainer = Trainer(cfg, mesh=mesh)
+    train_loader, val_loader, test_loader = build_loaders(cfg)
+    print(f"Criterion: {trainer.loss_name}")
+    trainer.fit(train_loader, val_loader, test_loader)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""On-device augmentations — batched equivalents of the reference's per-image
+PIL/OpenCV transforms (augmentation/AddCannyEdge.py:8-41,
+augmentation/CannyEnhance.py:7-44).
+
+The reference runs cv2.Canny per image on the host inside __getitem__; here the
+whole batch goes through the device Canny pipeline in one jitted call, after
+the host->device transfer. Both transforms are off by default, matching the
+commented-out call sites (ToothDataset.py:52-55).
+
+Note: the transforms operate on *unnormalized* [0,1] RGB; apply them before
+ImageNet normalization (the wrapper below handles the ordering).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eelunet_tpu.ops.edge import canny_edge_improve, rgb_to_grayscale
+
+# cv2.Canny(100, 200) thresholds on a 0-255 scale -> [0,1] scale.
+_CV2_LOW = 100.0 / 255.0
+_CV2_HIGH = 200.0 / 255.0
+
+
+@jax.jit
+def add_canny_edge(images: jnp.ndarray) -> jnp.ndarray:
+    """Append a Canny edge map as a 4th channel (AddCannyEdge.py:8-41).
+
+    images: (N,H,W,3) in [0,1] -> (N,H,W,4).
+    """
+    gray = rgb_to_grayscale(images)
+    edges = canny_edge_improve(gray, _CV2_LOW, _CV2_HIGH)
+    return jnp.concatenate([images, edges], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def canny_enhance(
+    images: jnp.ndarray,
+    alpha: float = 0.2,
+    edge_color: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> jnp.ndarray:
+    """Blend a colored edge overlay into the image (CannyEnhance.py:7-44):
+    out = image*1.0 + overlay*alpha, where overlay paints ``edge_color`` at
+    edge pixels (cv2.addWeighted semantics, clipped to [0,1])."""
+    gray = rgb_to_grayscale(images)
+    edges = canny_edge_improve(gray, _CV2_LOW, _CV2_HIGH)
+    color = jnp.asarray(edge_color, images.dtype).reshape(1, 1, 1, 3)
+    overlay = edges * color
+    return jnp.clip(images + alpha * overlay, 0.0, 1.0)
+
+
+def normalize_imagenet(
+    images: jnp.ndarray,
+    mean: Sequence[float] = (0.485, 0.456, 0.406),
+    std: Sequence[float] = (0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """ImageNet normalization on device (ToothDataset.py:60)."""
+    m = jnp.asarray(mean, images.dtype).reshape(1, 1, 1, -1)
+    s = jnp.asarray(std, images.dtype).reshape(1, 1, 1, -1)
+    return (images - m) / s

@@ -1,0 +1,82 @@
+"""Host-side dataset: ToothDataset-compatible directory layout.
+
+Reference data/ToothDataset.py:10-63: ``{data_dir}/{split}/{images,masks}``
+with sorted file pairing and a count assert; images decoded RGB, masks L;
+both resized (bilinear) to the target size; image normalized with ImageNet
+mean/std, mask left in [0,1] (anti-aliased resize can make it non-binary —
+same as the reference's Resize+ToTensor path).
+
+Returns NHWC float32 numpy arrays ready for device_put. Decoding uses PIL;
+heavy lifting (augmentation, normalization at scale) belongs on device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
+
+
+class SegmentationFolderDataset:
+    """Image/mask pair dataset over a ``{split}/{images,masks}`` tree."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        split: str = "train",
+        image_size: Tuple[int, int] = (256, 256),
+        normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
+        normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
+    ):
+        if not _HAS_PIL:
+            raise RuntimeError("PIL is required for SegmentationFolderDataset")
+        self.image_dir = os.path.join(data_dir, split, "images")
+        self.mask_dir = os.path.join(data_dir, split, "masks")
+        self.image_files = sorted(
+            f for f in os.listdir(self.image_dir) if f.lower().endswith(IMAGE_EXTS)
+        )
+        self.mask_files = sorted(
+            f for f in os.listdir(self.mask_dir) if f.lower().endswith(IMAGE_EXTS)
+        )
+        # ToothDataset.py:31
+        assert len(self.image_files) == len(self.mask_files), "Image and mask counts do not match!"
+        self.image_size = tuple(image_size)
+        self.mean = np.asarray(normalize_mean, np.float32)
+        self.std = np.asarray(normalize_std, np.float32)
+
+    def __len__(self) -> int:
+        return len(self.image_files)
+
+    def name(self, idx: int) -> str:
+        return self.image_files[idx]
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img = Image.open(os.path.join(self.image_dir, self.image_files[idx])).convert("RGB")
+        mask = Image.open(os.path.join(self.mask_dir, self.mask_files[idx])).convert("L")
+        h, w = self.image_size
+        img = img.resize((w, h), Image.BILINEAR)
+        mask = mask.resize((w, h), Image.BILINEAR)
+        x = np.asarray(img, np.float32) / 255.0            # (H, W, 3)
+        x = (x - self.mean) / self.std                     # ToothDataset.py:60
+        y = (np.asarray(mask, np.float32) / 255.0)[..., None]  # (H, W, 1)
+        return x, y
+
+
+def train_val_split(
+    n: int, val_fraction: float = 0.1, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random 90/10 index split (reference random_split, train.py:256-259)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_train = int(n * (1.0 - val_fraction))
+    return perm[:n_train], perm[n_train:]

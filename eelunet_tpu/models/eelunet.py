@@ -1,0 +1,253 @@
+"""EELUnet — the flagship edge-enhanced U-Net (reference models/EELUnet.py:228-471).
+
+4-level U-Net (64->1024 ch) where enc3/enc4/bottleneck/dec3/dec4 use
+tokenized-MLP conv blocks; an auxiliary edge decoder runs from the bottleneck
+in parallel with the main decoder and is *added* into each main decoder stage;
+five PredictionGuidedRefinement heads emit sigmoid maps at 1/16..1/1 scales for
+deep supervision; skips use channel interleaving instead of concat; final
+LayerNorm + 1x1 conv + sigmoid. 26.26M params.
+
+TPU-native design notes:
+- NHWC; the per-pixel token MLP (ChannelAwarePatchedMLP) is a Dense over the
+  channel axis — a large batched matmul that maps straight onto the MXU, with
+  no permute/reshape round-trips (the reference permutes NCHW->tokens->NCHW,
+  EELUnet.py:119-121).
+- The FFT high-pass mask is a compile-time constant; fft2 runs over the two
+  spatial axes of the NHWC layout.
+- The debug ``visualize_feature_maps`` PNG dumps living inside the reference
+  forward (EELUnet.py:389-462) become an optional ``capture_intermediates``
+  flag via flax's standard mechanism — no side effects in the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eelunet_tpu.nn.layers import (
+    BatchNorm,
+    ChannelLayerNorm,
+    ConvBlock,
+    TorchConv,
+    TorchConvTranspose,
+    TorchDense,
+    avg_pool_global,
+    center_crop,
+    interleave_channels,
+    max_pool2d,
+    interleave_channels as _interleave,
+)
+from eelunet_tpu.registry import ModelOutput
+
+Dtype = Any
+
+
+class ChannelAttention(nn.Module):
+    """SE-style squeeze-excite (EELUnet.py:8-80)."""
+
+    reduction: int = 16
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = avg_pool_global(x)
+        w = TorchConv(c // self.reduction, (1, 1), padding=0, dtype=self.dtype)(w)
+        w = nn.relu(w)
+        w = TorchConv(c, (1, 1), padding=0, dtype=self.dtype)(w)
+        return x * jax.nn.sigmoid(w)
+
+
+def shifted_channel(x: jnp.ndarray, shift_ratio: float = 0.25) -> jnp.ndarray:
+    """Roll three channel quarters by +-1 px along H/W (EELUnet.py:83-97).
+
+    NHWC axes: H=1, W=2. jnp.roll on a channel slice is a cheap lax.rev-free
+    concatenation XLA handles without relayout.
+    """
+    c = x.shape[-1]
+    s = int(c * shift_ratio)
+    return jnp.concatenate(
+        [
+            jnp.roll(x[..., :s], 1, axis=1),
+            jnp.roll(x[..., s : 2 * s], -1, axis=1),
+            jnp.roll(x[..., 2 * s : 3 * s], 1, axis=2),
+            x[..., 3 * s :],
+        ],
+        axis=-1,
+    )
+
+
+class ChannelAwarePatchedMLP(nn.Module):
+    """Tokenized-MLP block (EELUnet.py:101-123).
+
+    shift -> 1x1 conv to token_dim -> channel attention -> per-pixel MLP
+    (token_dim -> 4*token_dim -> out) -> 1x1 conv. The reference reshapes to
+    (B, H*W, C) for the MLP; in NHWC a Dense over the trailing axis is the
+    same computation without data movement.
+    """
+
+    features: int
+    token_dim: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = shifted_channel(x)
+        x = TorchConv(self.token_dim, (1, 1), padding=0, dtype=self.dtype)(x)
+        x = ChannelAttention(dtype=self.dtype)(x)
+        x = TorchDense(self.token_dim * 4, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = TorchDense(self.features, dtype=self.dtype)(x)
+        x = TorchConv(self.features, (1, 1), padding=0, dtype=self.dtype)(x)
+        return x
+
+
+def high_pass_fft(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray:
+    """FFT high-pass filter (HighFourierTransform, EELUnet.py:144-191).
+
+    fft2 over spatial axes -> fftshift -> zero a centered (2m x 2m) box ->
+    ifft -> |.|. The mask is a static constant folded at compile time.
+    """
+    h, w = x.shape[1], x.shape[2]
+    crow, ccol = h // 2, w // 2
+    m = min(mask_range, min(crow, ccol))
+    mask = jnp.ones((h, w), jnp.float32)
+    mask = mask.at[crow - m : crow + m, ccol - m : ccol + m].set(0.0)
+    mask = mask[None, :, :, None]
+
+    dft = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
+    dft = jnp.fft.fftshift(dft, axes=(1, 2))
+    dft = dft * mask
+    dft = jnp.fft.ifftshift(dft, axes=(1, 2))
+    out = jnp.abs(jnp.fft.ifft2(dft, axes=(1, 2)))
+    return out.astype(x.dtype)
+
+
+class PredictionGuidedRefinement(nn.Module):
+    """1x1 head -> gate features with sigmoid(gt_pre) (EELUnet.py:194-203)."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        gt_pre = TorchConv(1, (1, 1), padding=0, dtype=self.dtype)(x)
+        g = jax.nn.sigmoid(gt_pre)
+        return x + x * g, g.astype(jnp.float32)
+
+
+class MlpConvBlock(nn.Module):
+    """conv3x3 -> BN -> ReLU -> CAPMLP -> BN -> ReLU (EELUnet.py:347-359)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        x = nn.relu(x)
+        return x
+
+
+class UpConvBN(nn.Module):
+    """ConvTranspose(k2,s2) -> BN (EELUnet.py:361-366)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConvTranspose(self.features, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return x
+
+
+class MlpUpConvBlock(nn.Module):
+    """ConvTranspose(k2,s2) -> CAPMLP -> BN (EELUnet.py:368-374)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConvTranspose(self.features, dtype=self.dtype)(x)
+        x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return x
+
+
+class EELUnet(nn.Module):
+    out_channels: int = 1
+    mask_range: int = 20
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> ModelOutput:
+        dt = self.dtype
+
+        # Encoder (EELUnet.py:237-252, forward 387-407)
+        enc1 = ConvBlock(64, use_bn=True, dtype=dt, name="enc1")(x, train)
+        enc2 = ConvBlock(128, use_bn=True, dtype=dt, name="enc2")(max_pool2d(enc1, 2), train)
+        enc3 = MlpConvBlock(256, dtype=dt, name="enc3")(max_pool2d(enc2, 2), train)
+        enc4 = MlpConvBlock(512, dtype=dt, name="enc4")(max_pool2d(enc3, 2), train)
+
+        # Bottleneck: BN -> conv3x3 512->1024 -> ReLU -> CAPMLP -> ReLU (255-261)
+        b = max_pool2d(enc4, 2)
+        b = BatchNorm(dtype=dt, name="bottleneck_bn")(b, train)
+        b = TorchConv(1024, (3, 3), dtype=dt, name="bottleneck_conv")(b)
+        b = nn.relu(b)
+        b = ChannelAwarePatchedMLP(1024, dtype=dt, name="bottleneck_mlp")(b)
+        bottleneck = nn.relu(b)
+
+        bottleneck, edge_5 = PredictionGuidedRefinement(dtype=dt, name="pred5")(bottleneck)
+
+        # Auxiliary edge branch, sequential from the bottleneck (300-328, 415-418)
+        e4 = MlpUpConvBlock(512, dtype=dt, name="edge_up4")(bottleneck, train)
+        edge_dec4 = MlpConvBlock(512, dtype=dt, name="edge_conv4")(e4, train)
+        e3 = MlpUpConvBlock(256, dtype=dt, name="edge_up3")(edge_dec4, train)
+        edge_dec3 = MlpConvBlock(256, dtype=dt, name="edge_conv3")(e3, train)
+        e2 = UpConvBN(128, dtype=dt, name="edge_up2")(edge_dec3, train)
+        e2 = high_pass_fft(e2, self.mask_range)
+        edge_dec2 = ConvBlock(128, use_bn=True, dtype=dt, name="edge_conv2")(e2, train)
+        e1 = UpConvBN(64, dtype=dt, name="edge_up1")(edge_dec2, train)
+        e1 = high_pass_fft(e1, self.mask_range)
+        edge_dec1 = ConvBlock(64, use_bn=True, dtype=dt, name="edge_conv1")(e1, train)
+
+        # Main decoder (421-460): upconv -> +edge -> interleave skip -> block
+        dec4 = MlpUpConvBlock(512, dtype=dt, name="upconv4")(bottleneck, train)
+        dec4 = dec4 + edge_dec4
+        dec4 = interleave_channels(dec4, center_crop(enc4, dec4.shape[1], dec4.shape[2]))
+        dec4 = MlpConvBlock(512, dtype=dt, name="dec4")(dec4, train)
+
+        dec3, edge_4 = PredictionGuidedRefinement(dtype=dt, name="pred4")(dec4)
+        dec3 = MlpUpConvBlock(256, dtype=dt, name="upconv3")(dec3, train)
+        dec3 = dec3 + edge_dec3
+        dec3 = interleave_channels(dec3, center_crop(enc3, dec3.shape[1], dec3.shape[2]))
+        dec3 = MlpConvBlock(256, dtype=dt, name="dec3")(dec3, train)
+
+        dec2, edge_3 = PredictionGuidedRefinement(dtype=dt, name="pred3")(dec3)
+        dec2 = UpConvBN(128, dtype=dt, name="upconv2")(dec2, train)
+        dec2 = dec2 + edge_dec2
+        dec2 = interleave_channels(dec2, center_crop(enc2, dec2.shape[1], dec2.shape[2]))
+        dec2 = ConvBlock(128, use_bn=True, dtype=dt, name="dec2")(dec2, train)
+
+        dec1, edge_2 = PredictionGuidedRefinement(dtype=dt, name="pred2")(dec2)
+        dec1 = UpConvBN(64, dtype=dt, name="upconv1")(dec1, train)
+        dec1 = dec1 + edge_dec1
+        dec1 = interleave_channels(dec1, center_crop(enc1, dec1.shape[1], dec1.shape[2]))
+        dec1 = ConvBlock(64, use_bn=True, dtype=dt, name="dec1")(dec1, train)
+
+        seg, edge_1 = PredictionGuidedRefinement(dtype=dt, name="pred1")(dec1)
+
+        # final: channels-first LayerNorm + 1x1 conv + sigmoid (330-333, 467-469)
+        seg = ChannelLayerNorm(dtype=dt, name="final_ln")(seg)
+        seg = TorchConv(self.out_channels, (1, 1), padding=0, dtype=dt, name="final_conv")(seg)
+        seg = jax.nn.sigmoid(seg.astype(jnp.float32))
+
+        return ModelOutput(seg=seg, aux=(edge_5, edge_4, edge_3, edge_2, edge_1))

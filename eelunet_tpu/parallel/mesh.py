@@ -1,0 +1,72 @@
+"""Device mesh + sharding layout.
+
+The reference is strictly single-device (train.py:236; SURVEY.md §2.8). Here
+scaling is mesh-native:
+
+- axes ``('data', 'model')``: batches shard over ``data``; optionally the
+  widest kernels (the 1024-channel EELUnet bottleneck and token-MLP Dense
+  layers) shard their output features over ``model`` (tensor parallelism).
+  XLA's SPMD partitioner propagates these NamedShardings through the jitted
+  train step and inserts the all-reduce/all-gather collectives over ICI — no
+  hand-written comms (the NCCL-equivalent layer is the compiler).
+- gradients reduce via the same mechanism: sharded batch + replicated params
+  means pjit emits a psum over ``data`` for the grads automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
+    """Build a ('data','model') mesh. data_axis=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if model_axis < 1:
+        model_axis = 1
+    if data_axis == -1:
+        if n % model_axis != 0:
+            raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+        data_axis = n // model_axis
+    if data_axis * model_axis > n:
+        raise ValueError(f"mesh {data_axis}x{model_axis} needs more than {n} devices")
+    grid = devices[: data_axis * model_axis].reshape(data_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(params, mesh: Mesh, min_features: int = 512):
+    """Per-parameter NamedShardings: tensor-shard wide kernels over 'model'.
+
+    A kernel's trailing (output-feature) axis is sharded over ``model`` when it
+    is divisible by the axis size and at least ``min_features`` wide — i.e. the
+    EELUnet bottleneck convs and the 256/1024-wide token-MLP Dense layers.
+    Everything else (biases, norms, small convs) is replicated; at
+    model_axis=1 this degenerates to pure data parallelism.
+    """
+    m = mesh.shape["model"]
+
+    def rule(path, p):
+        if (
+            m > 1
+            and hasattr(p, "ndim")
+            and p.ndim >= 2
+            and p.shape[-1] >= min_features
+            and p.shape[-1] % m == 0
+        ):
+            return NamedSharding(mesh, P(*([None] * (p.ndim - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)

@@ -1,0 +1,108 @@
+"""Model registry and uniform output contract.
+
+The reference dispatches on ``model.name`` string attributes with if-chains in
+three places (train.py:62-84, evaluate.py:84-89, test.py:109-114). Here every
+model returns a ``ModelOutput`` and carries static metadata, so workflows are
+model-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class ModelOutput(NamedTuple):
+    """Uniform forward-pass result.
+
+    seg: (B,H,W,1) segmentation map — probabilities if the model applies a
+         final sigmoid (eelunet/egeunet/malunet), logits otherwise
+         (unet/unet++/unext). ``ModelMeta.seg_is_logits`` records which.
+    aux: deep-supervision maps, low->high resolution (empty for plain models).
+    """
+
+    seg: jnp.ndarray
+    aux: Tuple[jnp.ndarray, ...] = ()
+
+
+class ModelMeta(NamedTuple):
+    name: str
+    seg_is_logits: bool      # test.py:117-118 forgets sigmoid for logit models; we don't.
+    has_aux: bool
+    reference: str           # file:line citation into /root/reference
+
+
+def _build(name):
+    # Imports are deferred so `import eelunet_tpu` stays light.
+    if name == "unet":
+        from eelunet_tpu.models.unet import Unet
+        return Unet
+    if name == "eelunet":
+        from eelunet_tpu.models.eelunet import EELUnet
+        return EELUnet
+    if name == "unet++":
+        from eelunet_tpu.models.unetpp import UnetPlusPlus
+        return UnetPlusPlus
+    if name == "egeunet":
+        from eelunet_tpu.models.egeunet import EGEUNet
+        return EGEUNet
+    if name == "malunet":
+        from eelunet_tpu.models.malunet import MALUNet
+        return MALUNet
+    if name in ("unext", "unext_s"):
+        from eelunet_tpu.models.unext import UNext, UNextS
+        return UNext if name == "unext" else UNextS
+    raise ValueError(f"Unsupported model type: {name!r}")
+
+
+MODEL_REGISTRY: Dict[str, ModelMeta] = {
+    "unet": ModelMeta("unet", True, False, "models/Unet.py:4-98"),
+    "eelunet": ModelMeta("eelunet", False, True, "models/EELUnet.py:228-471"),
+    "unet++": ModelMeta("unet++", True, False, "models/UnetPlusPlus.py:6-82 (repaired)"),
+    "egeunet": ModelMeta("egeunet", False, True, "models/egeunet.py:217-391"),
+    "unext": ModelMeta("unext", True, False, "models/unext.py:191-325"),
+    "unext_s": ModelMeta("unext_s", True, False, "models/unext.py:328-462"),
+    "malunet": ModelMeta("malunet", False, False, "models/malunet.py:198-324"),
+}
+
+
+def create_model(model_cfg) -> Tuple[Any, ModelMeta]:
+    """Instantiate a flax module + metadata from a ModelConfig."""
+    name = model_cfg.name
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unsupported model type: {name!r} (choices: {sorted(MODEL_REGISTRY)})")
+    meta = MODEL_REGISTRY[name]
+    cls = _build(name)
+    dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+
+    if name in ("unet", "unet++"):
+        model = cls(out_channels=model_cfg.out_channels, dtype=dtype)
+    elif name == "eelunet":
+        model = cls(out_channels=model_cfg.out_channels, mask_range=model_cfg.fft_mask_range, dtype=dtype)
+    elif name == "egeunet":
+        model = cls(
+            num_classes=model_cfg.out_channels,
+            c_list=tuple(model_cfg.c_list),
+            bridge=model_cfg.bridge,
+            gt_ds=model_cfg.gt_ds,
+            dtype=dtype,
+        )
+    elif name == "malunet":
+        model = cls(
+            num_classes=model_cfg.out_channels,
+            c_list=tuple(model_cfg.c_list),
+            split_att=model_cfg.split_att,
+            bridge=model_cfg.bridge,
+            dtype=dtype,
+        )
+    else:  # unext / unext_s
+        model = cls(num_classes=model_cfg.out_channels, dtype=dtype)
+    return model, meta
+
+
+def seg_probabilities(output: ModelOutput, meta: ModelMeta) -> jnp.ndarray:
+    """Segmentation probabilities regardless of the model's output convention."""
+    import jax
+
+    return jax.nn.sigmoid(output.seg) if meta.seg_is_logits else output.seg

@@ -1,0 +1,85 @@
+"""Orbax checkpointing of the full train state.
+
+The reference saves bare ``state_dict`` weights on each new best of six
+tracked metrics plus every 10 epochs (train.py:157-180,195-197) and never
+persists optimizer state, epoch or RNG — resuming restarts optimization
+(SURVEY.md §5). Here the whole TrainState round-trips, and the best-metric
+checkpoint policy is mirrored: ``{name}_best_{iou,dice,miou,mdice,
+boundary_f1}`` plus ``{name}_best`` on min val loss and periodic
+``{name}_epoch_{N}`` snapshots.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+BEST_METRICS = ("iou", "dice", "miou", "mdice", "boundary_f1")
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, model_name: str):
+        self.root = os.path.abspath(os.path.join(save_dir, model_name))
+        os.makedirs(self.root, exist_ok=True)
+        self.model_name = model_name
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _state_tree(self, state) -> Dict[str, Any]:
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+
+    def save(self, tag: str, state, force: bool = True) -> str:
+        path = os.path.join(self.root, f"{self.model_name}_{tag}")
+        self._ckptr.save(path, self._state_tree(state), force=force)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, path: str, state_template):
+        """Restore into the structure of ``state_template`` (a TrainState)."""
+        tree = self._ckptr.restore(path, target=self._state_tree(state_template))
+        return state_template.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=tree["step"],
+            rng=tree["rng"],
+        )
+
+    def restore_params(self, path: str, state_template):
+        """Weights-only restore (reference load_state_dict semantics,
+        evaluate.py:172-176)."""
+        tree = self._ckptr.restore(path, target=self._state_tree(state_template))
+        return state_template.replace(params=tree["params"], batch_stats=tree["batch_stats"])
+
+    def latest_best_path(self) -> Optional[str]:
+        p = os.path.join(self.root, f"{self.model_name}_best")
+        return p if os.path.exists(p) else None
+
+
+class BestTracker:
+    """Best-per-metric tracking with the reference's save policy."""
+
+    def __init__(self):
+        self.best = {m: 0.0 for m in BEST_METRICS}
+        self.min_val_loss = float("inf")
+
+    def update(self, metrics: Dict[str, float], val_loss: float):
+        """Return the list of checkpoint tags to save this epoch."""
+        tags = []
+        for m in BEST_METRICS:
+            if metrics.get(m, 0.0) > self.best[m]:
+                self.best[m] = float(metrics[m])
+                tags.append(f"best_{m}")
+        if val_loss < self.min_val_loss:
+            self.min_val_loss = float(val_loss)
+            tags.append("best")
+        return tags

@@ -1,0 +1,95 @@
+"""End-to-end training smoke: a few steps must run, reduce loss, checkpoint,
+and resume — on CPU with tiny shapes (SURVEY.md §4 test plan)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from eelunet_tpu.config import TrainConfig, apply_overrides
+from eelunet_tpu.data.pipeline import DataLoader
+from eelunet_tpu.data.synthetic import SyntheticDataset
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.train.trainer import Trainer
+
+
+def _tiny_cfg(tmp_path, model="unet", epochs=2):
+    cfg = TrainConfig()
+    cfg = apply_overrides(
+        cfg,
+        [
+            f"model.name={model}",
+            "data.image_size=[32,32]",
+            "data.batch_size=4",
+            f"epochs={epochs}",
+            "seed=0",
+            f"save_dir={tmp_path}/ckpt",
+            f"log_dir={tmp_path}/runs",
+            "snapshot_every=100",
+            "optimizer.lr=0.003",
+        ],
+    )
+    return cfg
+
+
+def _loaders(n=8, hw=32, bs=4):
+    tr = SyntheticDataset(n=n, image_size=(hw, hw), seed=0)
+    te = SyntheticDataset(n=4, image_size=(hw, hw), seed=1)
+    return (
+        DataLoader(tr, batch_size=bs, shuffle=True, seed=0),
+        DataLoader(te, batch_size=bs),
+        DataLoader(te, batch_size=bs),
+    )
+
+
+@pytest.mark.parametrize("model", ["unet", "eelunet"])
+def test_train_reduces_loss(tmp_path, model):
+    cfg = _tiny_cfg(tmp_path, model=model, epochs=3)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    tr, va, te = _loaders()
+    state, history = trainer.fit(tr, va, te, log=lambda *a: None)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert all(np.isfinite(history["train_loss"]))
+    # best checkpoint written
+    assert os.path.exists(os.path.join(cfg.save_dir, model, f"{model}_best"))
+    assert os.path.exists(os.path.join(cfg.save_dir, model, "loss_history.json"))
+
+
+def test_metrics_reported(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    tr, va, te = _loaders()
+    state, history = trainer.fit(tr, va, te, log=lambda *a: None)
+    m = history["metrics"][-1]
+    for k in ("iou", "dice", "miou", "mdice", "boundary_f1", "pixel_accuracy"):
+        assert k in m and 0.0 <= m[k] <= 1.0
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    tr, va, te = _loaders()
+    state, _ = trainer.fit(tr, va, te, log=lambda *a: None)
+    step0 = int(state.step)
+    path = trainer.ckpt.save("resume_test", state)
+
+    trainer2 = Trainer(cfg, mesh=create_mesh(1, 1))
+    template = trainer2.init_state(steps_per_epoch=2)
+    restored = trainer2.ckpt.restore(path, template)
+    assert int(restored.step) == step0
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_seed_reproducibility(tmp_path):
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    losses = []
+    for _ in range(2):
+        trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+        tr, va, te = _loaders()
+        _, history = trainer.fit(tr, va, te, log=lambda *a: None)
+        losses.append(history["train_loss"][0])
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
