@@ -19,13 +19,22 @@ import time
 
 IMAGE = 512
 BATCH = 8
-WARMUP = 3
+WARMUP = 1
 ITERS = 20
 CPU_ITERS = 2
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 
 
 def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, dtype: str = "bfloat16") -> float:
+    """Measure forward images/sec.
+
+    The ``iters`` forward passes run inside ONE jitted ``lax.scan`` with a
+    single scalar readback at the end: under the axon TPU tunnel,
+    ``block_until_ready`` does not actually synchronize and a per-iteration
+    host readback would pay a ~50ms relay round trip per step. Each scan step
+    perturbs the input by a tiny iteration-dependent epsilon so XLA cannot
+    hoist the loop-invariant forward out of the scan.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -34,23 +43,30 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
 
     model, meta = create_model(ModelConfig(name=model_name, dtype=dtype))
     x = jnp.zeros((batch, image, image, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # All models are fully convolutional: params are independent of H/W, so
+    # initialize at 64x64 (fast compile) and reuse for the target size.
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
 
-    @jax.jit
-    def forward(params, batch_stats, images):
+    def one(images):
         vs = {"params": params}
         if batch_stats:
             vs["batch_stats"] = batch_stats
         out = model.apply(vs, images, train=False)
-        return seg_probabilities(out, meta)
+        return jnp.sum(seg_probabilities(out, meta))
 
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    for _ in range(warmup):
-        forward(params, batch_stats, x).block_until_ready()
+    @jax.jit
+    def run_n(images, n_arr):
+        def body(carry, i):
+            return carry + one(images + i * 1e-9), None
+        s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), n_arr)
+        return s
+
+    n_arr = jnp.arange(iters, dtype=jnp.float32)
+    float(run_n(x, n_arr))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        forward(params, batch_stats, x).block_until_ready()
+    float(run_n(x, n_arr))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -64,7 +80,14 @@ def _cpu_baseline() -> float:
         "print(json.dumps({'images_per_sec': bench._measure('eelunet', %d, 1, %d, 1, 'float32')}))"
         % (os.path.dirname(os.path.abspath(__file__)), IMAGE, CPU_ITERS)
     )
+    # Scrub the axon sitecustomize/remote-compile hooks: they break the pure
+    # CPU backend (same scrub as tests/conftest.py).
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=3000
     )

@@ -33,7 +33,9 @@ def main(argv=None):
 
     d = cfg.data
     ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
-    loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers)
+    # Never drop tail samples during evaluation — metrics must cover the
+    # whole split (the reference's loader doesn't drop either, evaluate.py:147).
+    loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
 
     print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
     print(f"Model: {cfg.model.name}")

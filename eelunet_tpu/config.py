@@ -170,8 +170,10 @@ def apply_overrides(cfg: TrainConfig, overrides: Sequence[str]) -> TrainConfig:
         node = d
         parts = key.split(".")
         for p in parts[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                raise KeyError(f"unknown config key: {key}")
             node = node[p]
-        if parts[-1] not in node:
+        if not isinstance(node, dict) or parts[-1] not in node:
             raise KeyError(f"unknown config key: {key}")
         node[parts[-1]] = val
     return _from_dict(TrainConfig, d)

@@ -11,7 +11,25 @@ pytest process re-execs itself once with a scrubbed environment.
 import os
 import sys
 
-if os.environ.get("EELUNET_TPU_TEST_ENV") != "1":
+import numpy as np
+import pytest
+
+
+def pytest_configure(config):
+    """Re-exec pytest once with a scrubbed environment (pure-CPU JAX, 8
+    virtual devices, axon sitecustomize removed).
+
+    This must happen via exec — the sitecustomize monkey-patches JAX at
+    interpreter start, so env changes inside this process are too late. Global
+    output capture is stopped first so the exec'd process inherits the real
+    stdout/stderr fds instead of pytest's capture tempfiles.
+    """
+    if os.environ.get("EELUNET_TPU_TEST_ENV") == "1":
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+
     env = dict(os.environ)
     env["EELUNET_TPU_TEST_ENV"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
@@ -25,10 +43,8 @@ if os.environ.get("EELUNET_TPU_TEST_ENV") != "1":
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p
     )
-    os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
-
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
 
 
 @pytest.fixture(scope="session")

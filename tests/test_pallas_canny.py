@@ -1,0 +1,73 @@
+"""Fused Pallas Canny kernel vs the XLA reference path (interpret mode on
+CPU; compiled on TPU).
+
+Equality policy: the fused kernel computes the Gaussian blur separably and
+does NMS comparisons on mag^2 (monotonic), so results are identical except
+where float rounding flips an exact >=-tie — which symmetric synthetic
+inputs (disks) hit on purpose. Random inputs have no ties -> exact equality;
+tie-heavy inputs allow <=1% pixel disagreement.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eelunet_tpu.ops.edge import canny_edge
+from eelunet_tpu.ops.edge_pallas import fused_canny_auto
+
+
+def _disk(h, w, cy, cx, r):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy - cy) ** 2 + (xx - cx) ** 2) < r * r).astype(np.float32)
+
+
+def _agree(got, want, max_frac=0.01):
+    frac = float((got != want).mean())
+    assert frac <= max_frac, f"{frac:.2%} pixels disagree"
+
+
+def test_fused_matches_xla_disk():
+    mask = _disk(64, 64, 32, 32, 18)[None, :, :, None]
+    want = np.asarray(canny_edge(jnp.array(mask)))
+    got = np.asarray(fused_canny_auto(jnp.array(mask)))
+    assert got.sum() > 0
+    _agree(got, want)
+
+
+def test_fused_matches_xla_random_exact(rng):
+    x = (rng.uniform(size=(2, 48, 40, 1)) > 0.6).astype(np.float32)
+    want = np.asarray(canny_edge(jnp.array(x)))
+    got = np.asarray(fused_canny_auto(jnp.array(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_matches_xla_noisy_disk_exact(rng):
+    """Tiny smooth noise breaks all >=-ties -> bit-exact agreement."""
+    mask = _disk(64, 64, 32, 32, 18)
+    mask = mask + rng.uniform(0, 1e-3, mask.shape).astype(np.float32)
+    x = mask[None, :, :, None]
+    want = np.asarray(canny_edge(jnp.array(x)))
+    got = np.asarray(fused_canny_auto(jnp.array(x)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_tiling_matches_untiled(rng):
+    """H-tiled slabs with halo must agree exactly with one big tile (same
+    kernel, same arithmetic — only the DMA slicing differs)."""
+    mask = _disk(96, 40, 48, 20, 30)
+    mask = mask + rng.uniform(0, 1e-3, mask.shape).astype(np.float32)
+    x = mask[None, :, :, None]
+    a = np.asarray(fused_canny_auto(jnp.array(x), tile_h=32))
+    b = np.asarray(fused_canny_auto(jnp.array(x), tile_h=96))
+    np.testing.assert_array_equal(a, b)
+    want = np.asarray(canny_edge(jnp.array(x)))
+    np.testing.assert_array_equal(a, want)
+
+
+def test_fused_non_divisible_height(rng):
+    mask = _disk(70, 40, 35, 20, 20)
+    mask = mask + rng.uniform(0, 1e-3, mask.shape).astype(np.float32)
+    x = mask[None, :, :, None]
+    got = np.asarray(fused_canny_auto(jnp.array(x), tile_h=32))
+    want = np.asarray(canny_edge(jnp.array(x)))
+    np.testing.assert_array_equal(got, want)

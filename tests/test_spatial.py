@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from eelunet_tpu.ops.edge import canny_edge, gaussian_blur
 from eelunet_tpu.parallel.spatial import (
