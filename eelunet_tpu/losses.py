@@ -179,6 +179,21 @@ def chamfer_loss(
     return jnp.mean(sample)
 
 
+def compute_distance_map(target_np):
+    """Boundary distance map of a binary mask — host-side utility
+    (Loss.py:9-25: binary_erosion boundary + distance transform of its
+    complement). Unused by any training path, kept for API parity; requires
+    scipy.
+    """
+    import numpy as np
+    from scipy.ndimage import binary_erosion, distance_transform_edt
+
+    target_bool = np.asarray(target_np).astype(bool)
+    eroded = binary_erosion(target_bool, structure=np.ones((3, 3)))
+    boundary = target_bool ^ eroded
+    return distance_transform_edt(~boundary)
+
+
 # ---------------------------------------------------------------------------
 # Registry + model dispatch (replaces the name-keyed if-chain train.py:62-84)
 # ---------------------------------------------------------------------------

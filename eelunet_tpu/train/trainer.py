@@ -195,8 +195,11 @@ class Trainer:
             state = self.ckpt.restore(cfg.resume_from, state)
             log(f"Resumed full train state from {cfg.resume_from} at step {int(state.step)}")
 
+        from eelunet_tpu.train.logging import MetricLogger
+
         run_dir = os.path.join(cfg.log_dir, cfg.model.name, datetime.now().strftime("%Y%m%d_%H%M%S"))
         os.makedirs(run_dir, exist_ok=True)
+        logger = MetricLogger(run_dir)
         history = {"train_loss": [], "val_loss": [], "metrics": []}
         json_path = os.path.join(self.ckpt.root, "loss_history.json")
 
@@ -209,6 +212,7 @@ class Trainer:
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
             history["metrics"].append(metrics)
+            logger.log_epoch(epoch + 1, train_loss, val_loss, metrics)
 
             for tag in self.best.update(metrics, val_loss):
                 self.ckpt.save(tag, state)
@@ -233,4 +237,5 @@ class Trainer:
             "Training complete. Best: "
             + " ".join(f"{k}={v:.4f}" for k, v in self.best.best.items())
         )
+        logger.close()
         return state, history

@@ -25,6 +25,19 @@ def test_high_pass_fft_vs_torch(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_high_pass_fft_lowrank_matches_reference(rng):
+    """The low-rank MXU formulation (ops/fft.py) vs the literal jnp.fft path,
+    including odd sizes where the mask clamp is JOINT across axes
+    (m = min(mask_range, min(h//2, w//2)), EELUnet.py:155-157)."""
+    from eelunet_tpu.models.eelunet import high_pass_fft_reference
+
+    for shape, m in [((1, 30, 26, 2), 20), ((2, 32, 32, 3), 5), ((1, 17, 23, 1), 7)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        a = np.asarray(high_pass_fft(x, m))
+        b = np.asarray(high_pass_fft_reference(x, m))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_high_pass_fft_removes_dc():
     x = jnp.ones((1, 16, 16, 1))  # pure DC
     out = np.asarray(high_pass_fft(x, mask_range=2))
