@@ -71,6 +71,42 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
     return batch * iters / dt
 
 
+def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dtype: str = "bfloat16") -> float:
+    """Training-step throughput (fwd+bwd+Adam+BN). Steps chain through the
+    donated TrainState, so one final loss readback syncs the whole run."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eelunet_tpu.config import TrainConfig, apply_overrides
+    from eelunet_tpu.parallel.mesh import create_mesh
+    from eelunet_tpu.train.trainer import Trainer
+
+    cfg = apply_overrides(
+        TrainConfig(),
+        [
+            f"model.name={model_name}",
+            f"model.dtype={dtype}",
+            f"data.image_size=[{image},{image}]",
+            f"data.batch_size={batch}",
+            "seed=0",
+        ],
+    )
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    state = trainer.init_state(steps_per_epoch=100)
+    step = trainer._get_step("train", state)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.standard_normal((batch, image, image, 3)), jnp.float32)
+    yb = jnp.asarray((rng.uniform(size=(batch, image, image, 1)) > 0.5), jnp.float32)
+    state, loss = step(state, xb, yb)
+    float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, xb, yb)
+    float(loss)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def _cpu_baseline() -> float:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -115,6 +151,10 @@ def main():
             detail[f"{name}_256_bf16"] = _measure(name, 256, BATCH, 10, 2, "bfloat16")
         except Exception as e:
             detail[f"{name}_256_bf16"] = f"error: {e}"
+    try:
+        detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, BATCH)
+    except Exception as e:
+        detail["eelunet_256_train_bf16"] = f"error: {e}"
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)

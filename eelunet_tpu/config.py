@@ -109,6 +109,8 @@ class TrainConfig:
     snapshot_every: int = 10          # periodic ckpt (train.py:195-197)
     eval_every: int = 1               # full test-set eval per epoch (train.py:127)
     threshold: float = 0.5            # binarization threshold (evaluate.py:92)
+    remat: bool = False               # jax.checkpoint the forward in train_step
+                                      # (trade FLOPs for HBM at large batch/res)
     donate_buffers: bool = True
     log_every_steps: int = 50
     resume_from: str = ""             # checkpoint dir to resume full train state from

@@ -16,8 +16,13 @@ import jax.numpy as jnp
 
 from eelunet_tpu.nn.layers import max_pool2d
 
-# torch.nn.BCELoss clamps log terms at -100 for numerical safety; replicate.
+# torch.nn.BCELoss clamps log terms at -100 AND clamps the gradient
+# denominator at 1e-12; clamping only the log VALUE (as a naive port would)
+# leaves an infinite gradient at p in {0, 1} — sigmoid saturates to exactly
+# those in bf16 (|x|>9) and eventually f32 (|x|>17), which NaN'd training at
+# step 7 on TPU. Clipping p bounds both the value and the gradient.
 _BCE_LOG_CLAMP = -100.0
+_PROB_EPS = 1e-7
 
 
 def dice_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -31,8 +36,9 @@ def dice_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy on probabilities (Loss.py:45-55)."""
-    p = pred.astype(jnp.float32)
+    """Mean binary cross-entropy on probabilities (Loss.py:45-55),
+    gradient-safe at saturated probabilities (see _PROB_EPS note)."""
+    p = jnp.clip(pred.astype(jnp.float32), _PROB_EPS, 1.0 - _PROB_EPS)
     t = target.astype(jnp.float32)
     log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log1p(-p), _BCE_LOG_CLAMP)
@@ -112,7 +118,7 @@ def gt_bce_dice_loss(
 
 def focal_loss(pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
     """Focal loss on probabilities (Loss.py:197-219)."""
-    p = pred.astype(jnp.float32)
+    p = jnp.clip(pred.astype(jnp.float32), _PROB_EPS, 1.0 - _PROB_EPS)
     t = target.astype(jnp.float32)
     log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log1p(-p), _BCE_LOG_CLAMP)

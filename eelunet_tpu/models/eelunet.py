@@ -144,8 +144,11 @@ class PredictionGuidedRefinement(nn.Module):
     @nn.compact
     def __call__(self, x):
         gt_pre = TorchConv(1, (1, 1), padding=0, dtype=self.dtype)(x)
-        g = jax.nn.sigmoid(gt_pre)
-        return x + x * g, g.astype(jnp.float32)
+        # Sigmoid in f32: bf16 sigmoid saturates to exact 0/1 at |x|>~9,
+        # which starves the deep-supervision BCE of gradient signal.
+        g32 = jax.nn.sigmoid(gt_pre.astype(jnp.float32))
+        g = g32.astype(x.dtype)
+        return x + x * g, g32
 
 
 class MlpConvBlock(nn.Module):

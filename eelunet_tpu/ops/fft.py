@@ -90,5 +90,10 @@ def high_pass_fft_lowrank(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray:
 
     hi_re = xf - lr
     hi_im = -li
-    out = jnp.sqrt(hi_re * hi_re + hi_im * hi_im)
+    # Clamped sqrt: the complex magnitude has an infinite gradient at exactly
+    # 0, and this path produces EXACT zeros (e.g. when the clamped mask covers
+    # the whole spectrum at small sizes) — unlike the FFT path whose rounding
+    # noise masks the issue. Forward error <= 1e-12; gradients stay finite.
+    sq = hi_re * hi_re + hi_im * hi_im
+    out = jnp.sqrt(jnp.maximum(sq, 1e-24))
     return out.astype(x.dtype)

@@ -47,17 +47,23 @@ def make_loss_fn(loss_name: str, loss_cfg, meta):
     return fn
 
 
-def make_train_step(model, loss_fn, has_batch_stats: bool, donate: bool = True):
+def make_train_step(model, loss_fn, has_batch_stats: bool, donate: bool = True, remat: bool = False):
+    def apply_train(params, batch_stats, images):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            output, mutated = model.apply(variables, images, train=True, mutable=["batch_stats"])
+            return output, mutated["batch_stats"]
+        return model.apply(variables, images, train=True), batch_stats
+
+    if remat:
+        # Rematerialize the forward in the backward pass: trades recompute
+        # FLOPs for activation HBM (SURVEY.md build-plan design stance).
+        apply_train = jax.checkpoint(apply_train)
+
     def train_step(state: TrainState, images, labels):
         def compute_loss(params):
-            variables = {"params": params}
-            if has_batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                output, mutated = model.apply(variables, images, train=True, mutable=["batch_stats"])
-                new_stats = mutated["batch_stats"]
-            else:
-                output = model.apply(variables, images, train=True)
-                new_stats = state.batch_stats
+            output, new_stats = apply_train(params, state.batch_stats, images)
             return loss_fn(output, labels), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
@@ -135,7 +141,7 @@ class Trainer:
             return self._steps[name]
         has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
         if name == "train":
-            fn = make_train_step(self.model, self.loss_fn, has_bs, self.cfg.donate_buffers)
+            fn = make_train_step(self.model, self.loss_fn, has_bs, self.cfg.donate_buffers, self.cfg.remat)
         elif name == "eval_loss":
             fn = make_eval_loss_step(self.model, self.loss_fn, has_bs)
         elif name == "eval":
