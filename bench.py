@@ -156,6 +156,14 @@ def main():
     except Exception as e:
         detail["eelunet_256_train_bf16"] = f"error: {e}"
 
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        detail["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+    except Exception:
+        pass
+
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
     print(json.dumps(detail, indent=2), file=sys.stderr)

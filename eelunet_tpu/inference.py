@@ -1,0 +1,57 @@
+"""Batch inference API — the library-level counterpart of cli/predict.py.
+
+Loads a checkpoint once, compiles one forward executable per input shape, and
+serves numpy-in / numpy-out batch prediction. This is the programmatic surface
+a reference user of test.py (mask export) migrates to.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eelunet_tpu.config import ModelConfig, TrainConfig
+from eelunet_tpu.registry import create_model, seg_probabilities
+
+
+class Predictor:
+    def __init__(self, model_cfg: ModelConfig, checkpoint: Optional[str] = None, threshold: float = 0.5):
+        self.model, self.meta = create_model(model_cfg)
+        self.threshold = threshold
+        sample = jnp.zeros((1, 64, 64, model_cfg.in_channels), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(0), sample)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        if checkpoint:
+            self.load(checkpoint)
+
+        @jax.jit
+        def _forward(params, batch_stats, images):
+            vs = {"params": params}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            out = self.model.apply(vs, images, train=False)
+            return seg_probabilities(out, self.meta)
+
+        self._forward = _forward
+
+    def load(self, checkpoint: str):
+        """Restore weights (+BN stats) from an orbax checkpoint dir."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+
+    def predict_proba(self, images: np.ndarray) -> np.ndarray:
+        """(B,H,W,3) normalized float images -> (B,H,W,1) probabilities."""
+        return np.asarray(self._forward(self.params, self.batch_stats, jnp.asarray(images)))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Binary masks at the configured threshold."""
+        return (self.predict_proba(images) > self.threshold).astype(np.float32)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,16 +56,27 @@ def _axis_factors(n: int, m: int):
     )
 
 
-def _cmul_contract(eq: str, mr, mi, tr, ti):
+def _cmul_contract(eq: str, mr, mi, tr, ti, compute_dtype=jnp.float32):
     """Complex contraction via four real einsums (complex matmul is
-    UNIMPLEMENTED on the TPU backend): (mr + i mi) . (tr + i ti)."""
-    rr = jnp.einsum(eq, mr, tr)
+    UNIMPLEMENTED on the TPU backend): (mr + i mi) . (tr + i ti).
+
+    Matmuls run in ``compute_dtype`` with f32 accumulation — bf16 inputs use
+    the MXU's fast path when the surrounding model is bf16. The f32 path pins
+    Precision.HIGHEST: TPU f32 matmuls otherwise default to bf16 MXU passes
+    (~1e-2 abs error vs the FFT reference, observed live).
+    """
+    precision = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+
+    def ein(a, b):
+        return jnp.einsum(
+            eq, a.astype(compute_dtype), b.astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    rr = ein(mr, tr)
     if ti is None:
-        return rr, jnp.einsum(eq, mi, tr)
-    return (
-        rr - jnp.einsum(eq, mi, ti),
-        jnp.einsum(eq, mr, ti) + jnp.einsum(eq, mi, tr),
-    )
+        return rr, ein(mi, tr)
+    return rr - ein(mi, ti), ein(mr, ti) + ein(mi, tr)
 
 
 def high_pass_fft_lowrank(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray:
@@ -80,20 +92,25 @@ def high_pass_fft_lowrank(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray:
     uhr, uhi, vhr, vhi = _axis_factors(h, m)
     uwr, uwi, vwr, vwi = _axis_factors(w, m)
 
-    xf = x.astype(jnp.float32)
+    # bf16 models run the matmuls in bf16 (f32 accumulation): ~0.3% relative
+    # error on the low-pass component, consistent with the rest of a bf16
+    # forward. f32 inputs keep the fully-f32 path (and exact parity tests).
+    cd = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     # Contract H and W down to 2m each, then expand back: skinny MXU matmuls.
-    tr, ti = _cmul_contract("kh,bhwc->bkwc", vhr, vhi, xf, None)   # (B,2m,W,C)
-    tr, ti = _cmul_contract("lw,bkwc->bklc", vwr, vwi, tr, ti)     # (B,2m,2m,C)
-    tr, ti = _cmul_contract("wl,bklc->bkwc", uwr, uwi, tr, ti)     # (B,2m,W,C)
-    lr, li = _cmul_contract("hk,bkwc->bhwc", uhr, uhi, tr, ti)     # (B,H,W,C)
+    tr, ti = _cmul_contract("kh,bhwc->bkwc", vhr, vhi, x, None, cd)    # (B,2m,W,C)
+    tr, ti = _cmul_contract("lw,bkwc->bklc", vwr, vwi, tr, ti, cd)     # (B,2m,2m,C)
+    tr, ti = _cmul_contract("wl,bklc->bkwc", uwr, uwi, tr, ti, cd)     # (B,2m,W,C)
+    lr, li = _cmul_contract("hk,bkwc->bhwc", uhr, uhi, tr, ti, cd)     # (B,H,W,C)
 
-    hi_re = xf - lr
-    hi_im = -li
+    # Elementwise tail in the input dtype (bf16 models halve the HBM traffic
+    # of these full-resolution passes); f32 models keep exact parity.
+    hi_re = x - lr.astype(x.dtype)
+    hi_im = (-li).astype(x.dtype)
     # Clamped sqrt: the complex magnitude has an infinite gradient at exactly
     # 0, and this path produces EXACT zeros (e.g. when the clamped mask covers
     # the whole spectrum at small sizes) — unlike the FFT path whose rounding
     # noise masks the issue. Forward error <= 1e-12; gradients stay finite.
-    sq = hi_re * hi_re + hi_im * hi_im
+    sq = (hi_re * hi_re + hi_im * hi_im).astype(jnp.float32)
     out = jnp.sqrt(jnp.maximum(sq, 1e-24))
     return out.astype(x.dtype)

@@ -1,0 +1,39 @@
+"""Predictor API tests: checkpoint round-trip through the library surface."""
+
+import numpy as np
+import pytest
+
+from eelunet_tpu.config import ModelConfig, TrainConfig, apply_overrides
+from eelunet_tpu.data.pipeline import DataLoader
+from eelunet_tpu.data.synthetic import SyntheticDataset
+from eelunet_tpu.inference import Predictor
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.train.trainer import Trainer
+
+
+def test_predictor_matches_trainer_eval(tmp_path):
+    cfg = apply_overrides(
+        TrainConfig(),
+        ["model.name=unet", "data.image_size=[32,32]", "data.batch_size=4",
+         "seed=0", f"save_dir={tmp_path}/ckpt", f"log_dir={tmp_path}/runs",
+         "epochs=1", "snapshot_every=100", "optimizer.lr=0.003"],
+    )
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    ds = SyntheticDataset(n=8, image_size=(32, 32), seed=0)
+    loader = DataLoader(ds, batch_size=4)
+    state, _ = trainer.fit(loader, loader, loader, log=lambda *a: None)
+    path = trainer.ckpt.save("predictor_test", state)
+
+    pred = Predictor(ModelConfig(name="unet"), checkpoint=path)
+    x = np.stack([ds[i][0] for i in range(4)])
+    probs = pred.predict_proba(x)
+    assert probs.shape == (4, 32, 32, 1)
+    assert 0.0 <= probs.min() and probs.max() <= 1.0
+
+    masks = pred.predict(x)
+    assert set(np.unique(masks)).issubset({0.0, 1.0})
+
+    # untrained predictor differs from the restored one (weights actually loaded)
+    fresh = Predictor(ModelConfig(name="unet"))
+    probs_fresh = fresh.predict_proba(x)
+    assert not np.allclose(probs, probs_fresh)
