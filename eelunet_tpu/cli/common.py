@@ -49,14 +49,20 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
     """train/val/test loaders with the reference's 90/10 split of the train
     dir and a separate test dir (train.py:255-265)."""
     d = cfg.data
-    full = SegmentationFolderDataset(
-        d.data_dir, "train", d.image_size, d.normalize_mean, d.normalize_std
-    )
+    if d.packed:
+        from eelunet_tpu.data.packed import PackedDataset
+
+        full = PackedDataset(d.data_dir, "train", d.normalize_mean, d.normalize_std)
+        test = PackedDataset(d.data_dir, "test", d.normalize_mean, d.normalize_std)
+    else:
+        full = SegmentationFolderDataset(
+            d.data_dir, "train", d.image_size, d.normalize_mean, d.normalize_std
+        )
+        test = SegmentationFolderDataset(
+            d.data_dir, "test", d.image_size, d.normalize_mean, d.normalize_std
+        )
     seed = cfg.seed if cfg.seed is not None else 0
     tr_idx, va_idx = train_val_split(len(full), d.val_fraction, seed)
-    test = SegmentationFolderDataset(
-        d.data_dir, "test", d.image_size, d.normalize_mean, d.normalize_std
-    )
     mk = lambda ds, idx, shuffle: DataLoader(
         ds, d.batch_size, shuffle=shuffle, seed=seed,
         drop_remainder=d.drop_remainder and shuffle, num_workers=d.num_workers, indices=idx,

@@ -33,6 +33,7 @@ class DataConfig:
     canny_enhance: bool = False   # augmentation/CannyEnhance.py
     canny_enhance_alpha: float = 0.2
     drop_remainder: bool = True   # static shapes for jit
+    packed: bool = False          # data_dir points at a cli.pack output (memmaps)
 
 
 @dataclass

@@ -123,7 +123,7 @@ class GHPA(nn.Module):
         pzx = resize_bilinear(params_zx, cg, h, align_corners=True)  # (1, cg, H, 1)
         # conv1d(cg channels, k3, groups=cg) over length H:
         pzx = pzx.transpose(0, 2, 3, 1)  # (1, H, 1, cg)
-        pzx = KaimingConv(cg, (3, 1), feature_group_count=cg, dtype=dt, name="conv_zx_dw")(pzx)
+        pzx = KaimingConv(cg, (3, 1), feature_group_count=cg, conv1d_init=True, dtype=dt, name="conv_zx_dw")(pzx)
         pzx = _gelu(pzx)
         pzx = KaimingConv(cg, (1, 1), padding=0, dtype=dt, name="conv_zx_pw")(pzx)
         # (1, H, 1, cg) broadcasts over B and W of (B, H, W, cg)
@@ -133,7 +133,7 @@ class GHPA(nn.Module):
         params_zy = self.param("params_zy", tinit.ones, (1, cg, gy, 1), jnp.float32)
         pzy = resize_bilinear(params_zy, cg, w, align_corners=True)  # (1, cg, W, 1)
         pzy = pzy.transpose(0, 2, 3, 1)  # (1, W, 1, cg)
-        pzy = KaimingConv(cg, (3, 1), feature_group_count=cg, dtype=dt, name="conv_zy_dw")(pzy)
+        pzy = KaimingConv(cg, (3, 1), feature_group_count=cg, conv1d_init=True, dtype=dt, name="conv_zy_dw")(pzy)
         pzy = _gelu(pzy)
         pzy = KaimingConv(cg, (1, 1), padding=0, dtype=dt, name="conv_zy_pw")(pzy)
         pzy = pzy.transpose(0, 2, 1, 3)  # (1, 1, W, cg) broadcasts over B and H

@@ -60,6 +60,22 @@ def test_sharded_canny_matches_unsharded():
     np.testing.assert_allclose(got, want)
 
 
+def test_spatial_forward_matches_unsharded(rng):
+    """Full-model H-sharded forward via XLA SPMD auto-partitioning (unet;
+    malunet/eelunet verified identically but are too compile-heavy for CI)."""
+    from eelunet_tpu.config import ModelConfig
+    from eelunet_tpu.parallel.spatial import spatial_forward
+    from eelunet_tpu.registry import create_model
+
+    mesh = _mesh(8)
+    model, meta = create_model(ModelConfig(name="unet"))
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(variables, x, train=False).seg)
+    out = spatial_forward(model, variables, x, mesh)
+    np.testing.assert_allclose(np.asarray(out.seg), ref, atol=2e-5)
+
+
 def test_spatial_global_pool(rng):
     mesh = _mesh(4)
     x = rng.standard_normal((2, 16, 8, 3)).astype(np.float32)
