@@ -145,16 +145,19 @@ def main():
         cpu_ips = None
     detail["cpu_eelunet_512_f32"] = cpu_ips
 
-    # Secondary sweep at 256 for the lightweight families (stderr detail only).
-    for name in ("unet", "egeunet", "unext", "malunet"):
+    # Secondary sweep (BENCH_FULL=1): lightweight families + training step.
+    # Off by default — every extra model costs minutes of remote compile and
+    # the driver only records the primary JSON line.
+    if os.environ.get("BENCH_FULL") == "1":
+        for name in ("unet", "egeunet", "unext", "malunet"):
+            try:
+                detail[f"{name}_256_bf16"] = _measure(name, 256, BATCH, 10, 2, "bfloat16")
+            except Exception as e:
+                detail[f"{name}_256_bf16"] = f"error: {e}"
         try:
-            detail[f"{name}_256_bf16"] = _measure(name, 256, BATCH, 10, 2, "bfloat16")
+            detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, BATCH)
         except Exception as e:
-            detail[f"{name}_256_bf16"] = f"error: {e}"
-    try:
-        detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, BATCH)
-    except Exception as e:
-        detail["eelunet_256_train_bf16"] = f"error: {e}"
+            detail["eelunet_256_train_bf16"] = f"error: {e}"
 
     try:
         import jax

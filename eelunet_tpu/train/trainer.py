@@ -154,7 +154,19 @@ class Trainer:
     # -- loops ---------------------------------------------------------------
     def _device_batches(self, loader: Iterable):
         bs = batch_sharding(self.mesh)
-        return prefetch_to_device(loader, depth=self.cfg.data.prefetch_depth, sharding=bs)
+        rep = replicated_sharding(self.mesh)
+        n_data = self.mesh.shape["data"]
+
+        def shard_or_replicate(batch):
+            # Tail batches that don't divide the data axis (eval loaders never
+            # drop samples) can't be batch-sharded; replicate them instead —
+            # slower for that one batch, but metrics stay exact.
+            sharding = bs if batch[0].shape[0] % n_data == 0 else rep
+            return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tuple(batch))
+
+        return prefetch_to_device(
+            map(shard_or_replicate, loader), depth=self.cfg.data.prefetch_depth, sharding=None
+        )
 
     def train_one_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float]:
         step = self._get_step("train", state)

@@ -91,6 +91,21 @@ def test_tp_training_runs(tmp_path):
     assert np.isfinite(history["train_loss"]).all()
 
 
+def test_eval_with_ragged_tail_batch(tmp_path):
+    """Eval loaders never drop samples; a tail batch that doesn't divide the
+    data axis must fall back to replicated placement with exact metrics."""
+    ds = SyntheticDataset(n=6, image_size=(32, 32), seed=1)  # 6 % 8 != 0
+    loader = DataLoader(ds, batch_size=6, drop_remainder=False)
+
+    metrics = []
+    for mesh in (create_mesh(1, 1, devices=jax.devices()[:1]), create_mesh(-1, 1)):
+        trainer = Trainer(_cfg(tmp_path), mesh=mesh)
+        state = trainer.init_state()
+        metrics.append(trainer.evaluate(state, loader))
+    for k in metrics[0]:
+        assert metrics[0][k] == pytest.approx(metrics[1][k], rel=1e-5)
+
+
 def test_batch_sharding_layout():
     mesh = create_mesh(-1, 1)
     x = np.zeros((8, 4, 4, 3), np.float32)
