@@ -21,7 +21,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args)
 
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state()
 

@@ -27,10 +27,18 @@ def main(argv=None):
     p.add_argument("--prune_amount", type=float, default=0.3)
     p.add_argument("--finetune_epochs", type=int, default=5)
     p.add_argument("--out", type=str, default="")
+    p.add_argument(
+        "--physical",
+        action="store_true",
+        help="after finetune, physically remove the pruned channels "
+        "(unet only) and save a slim checkpoint (params + widths.json)",
+    )
     args = p.parse_args(argv)
     cfg = load_config(args)
+    if args.physical and cfg.model.name != "unet":
+        p.error("--physical supports model_type=unet (see prune_physical.py docs)")
 
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
     trainer = Trainer(cfg, mesh=mesh)
     train_loader, val_loader, test_loader = build_loaders(cfg)
     state = trainer.init_state(steps_per_epoch=max(len(train_loader), 1))
@@ -40,7 +48,9 @@ def main(argv=None):
     m0 = trainer.evaluate(state, test_loader)
     print({k: round(v, 4) for k, v in m0.items()})
 
-    masks, plan = compute_prune_masks(state.params, args.prune_amount)
+    # Physical removal needs bias-zeroed masks so slicing is exact (see
+    # prune_physical.py); the default mask path matches torch ln_structured.
+    masks, plan = compute_prune_masks(state.params, args.prune_amount, zero_bias=args.physical)
     state = state.replace(params=apply_masks(state.params, masks))
     print(f"== pruned (amount={args.prune_amount}) ==")
     for name, frac in sparsity_report(state.params).items():
@@ -61,6 +71,29 @@ def main(argv=None):
     tag = args.out or f"pruned_{int(args.prune_amount * 100)}"
     path = trainer.ckpt.save(tag, state)
     print(f"Saved pruned+finetuned checkpoint to {path}")
+
+    if args.physical:
+        from eelunet_tpu.prune_physical import (
+            evaluate_params,
+            param_count,
+            physical_prune_unet,
+            save_slim,
+            slim_unet,
+        )
+
+        # Masked finetune keeps pruned channels exactly zero (kernel+bias) —
+        # slicing them out is a pure re-indexing of the same function.
+        n0 = param_count(state.params)
+        slim_params, widths = physical_prune_unet(state.params, args.prune_amount)
+        n1 = param_count(slim_params)
+        model = slim_unet(widths, out_channels=cfg.model.out_channels)
+        print(f"== physical ==\nparams: {n0 / 1e6:.2f}M -> {n1 / 1e6:.2f}M ({n1 / n0:.1%})")
+        m3 = evaluate_params(
+            model, trainer.meta, slim_params, trainer._device_batches(test_loader), cfg.threshold
+        )
+        print({k: round(v, 4) for k, v in m3.items()})
+        slim_path = save_slim(path + "_slim", slim_params, widths)
+        print(f"Saved slim checkpoint to {slim_path}")
 
 
 if __name__ == "__main__":

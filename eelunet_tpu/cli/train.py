@@ -48,7 +48,7 @@ def main(argv=None):
         cfg = apply_overrides(cfg, [f"seed={seed}"])
 
     print(config_to_json(cfg))
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
     print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
 
     trainer = Trainer(cfg, mesh=mesh)

@@ -50,6 +50,9 @@ class ModelConfig:
     split_att: str = "fc"
     # EELUnet FFT high-pass mask half-width (EELUnet.py:145)
     fft_mask_range: int = 20
+    # High-pass implementation: "auto" (Pallas on TPU bf16, XLA otherwise),
+    # "pallas", or "lowrank" (pin XLA — required for activation-sharded runs).
+    highpass_impl: str = "auto"
     # Compute dtype for the forward pass ("float32" or "bfloat16"); params stay f32.
     dtype: str = "float32"
 

@@ -127,12 +127,32 @@ def high_pass_fft_reference(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray
     return out.astype(x.dtype)
 
 
-def high_pass_fft(x: jnp.ndarray, mask_range: int = 20) -> jnp.ndarray:
+def high_pass_fft(x: jnp.ndarray, mask_range: int = 20, impl: str = "auto") -> jnp.ndarray:
     """HighFourierTransform via the low-rank MXU formulation (ops/fft.py):
     identical result up to float rounding, ~3x faster EELUnet forward at
-    512^2 (TPU FFTs were ~70% of runtime)."""
-    from eelunet_tpu.ops.fft import high_pass_fft_lowrank
+    512^2 (TPU FFTs were ~70% of runtime).
 
+    impl="auto": on TPU in bf16 the fused Pallas path (ops/fft_pallas.py)
+    additionally removes the full-resolution f32 intermediates and
+    fusion-seam relayouts around the skinny matmuls; f32 keeps the XLA path
+    for exact-parity tests. impl="lowrank" pins the XLA path — use it for
+    multi-chip spatially/batch-sharded runs, where XLA auto-partitions the
+    matmul formulation but would gather+replicate a pallas_call.
+    EELUNET_HIGHPASS overrides impl (escape hatch / A-B measurement)."""
+    import os
+
+    from eelunet_tpu.ops.fft import high_pass_fft_lowrank
+    from eelunet_tpu.ops.fft_pallas import high_pass_fft_pallas, pallas_supported
+
+    impl = os.environ.get("EELUNET_HIGHPASS", impl)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and pallas_supported(x.shape)
+    )
+    if use_pallas:
+        return high_pass_fft_pallas(x, mask_range)
     return high_pass_fft_lowrank(x, mask_range)
 
 
@@ -198,6 +218,9 @@ class MlpUpConvBlock(nn.Module):
 class EELUnet(nn.Module):
     out_channels: int = 1
     mask_range: int = 20
+    # "auto" | "pallas" | "lowrank" — see high_pass_fft. Pin "lowrank" when
+    # sharding activations across chips (XLA partitions matmuls, not kernels).
+    highpass_impl: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -226,10 +249,10 @@ class EELUnet(nn.Module):
         e3 = MlpUpConvBlock(256, dtype=dt, name="edge_up3")(edge_dec4, train)
         edge_dec3 = MlpConvBlock(256, dtype=dt, name="edge_conv3")(e3, train)
         e2 = UpConvBN(128, dtype=dt, name="edge_up2")(edge_dec3, train)
-        e2 = high_pass_fft(e2, self.mask_range)
+        e2 = high_pass_fft(e2, self.mask_range, self.highpass_impl)
         edge_dec2 = ConvBlock(128, use_bn=True, dtype=dt, name="edge_conv2")(e2, train)
         e1 = UpConvBN(64, dtype=dt, name="edge_up1")(edge_dec2, train)
-        e1 = high_pass_fft(e1, self.mask_range)
+        e1 = high_pass_fft(e1, self.mask_range, self.highpass_impl)
         edge_dec1 = ConvBlock(64, use_bn=True, dtype=dt, name="edge_conv1")(e1, train)
 
         # Main decoder (421-460): upconv -> +edge -> interleave skip -> block

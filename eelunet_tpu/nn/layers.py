@@ -196,15 +196,18 @@ class ConvBlock(nn.Module):
 
     ``use_bn=False`` reproduces the vanilla Unet block (Unet.py:33-40);
     ``use_bn=True`` the EELUnet block (EELUnet.py:335-345).
+    ``features_mid`` overrides the first conv's width (physically pruned
+    models carry per-conv channel counts; default = ``features``).
     """
 
     features: int
     use_bn: bool = True
+    features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = TorchConv(self.features_mid or self.features, (3, 3), dtype=self.dtype)(x)
         if self.use_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)

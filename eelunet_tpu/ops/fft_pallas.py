@@ -1,0 +1,221 @@
+"""Pallas TPU kernels for the FFT high-pass filter (HighFourierTransform,
+reference EELUnet.py:144-191).
+
+Same math as ``ops/fft.high_pass_fft_lowrank`` (see that module for the
+low-rank identity), restructured so the two full-resolution passes never
+leave VMEM between the matmul and the elementwise work:
+
+  kernel 1 (contract): stream x in (Th x WCt) tiles, accumulate the complex
+      row-spectrum T = V_H @ X (K x W*C per batch element) in f32 directly in
+      the output block — one read of x, one tiny write.
+  XLA middle: contract/expand the W axis on the skinny T (K = padded 2m rows,
+      ~50x smaller than x) — four small einsums, never full-res.
+  kernel 2 (expand): stream x again, compute the complex low-pass rows
+      U_H @ S on the fly and fuse residual + |.| into the same tile —
+      one read of x + S, one write of the result.
+
+vs. the XLA low-rank path this removes the f32 ``lr/li`` full-resolution
+intermediates (2 writes + 2 reads of 4-byte data per call) and every
+fusion-seam relayout around the skinny einsums, which profiling showed cost
+more than the matmul FLOPs (docs/PERF.md ablation).
+
+Gradients: ``high_pass_fft_pallas`` carries a custom VJP whose backward is
+the autodiff transpose of the (numerically matching) XLA low-rank path —
+correct by construction and tested against ``jax.grad`` of that path.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eelunet_tpu.ops.fft import _axis_factors, high_pass_fft_lowrank
+
+_LANE = 128
+_EPS = 1e-24  # clamped-sqrt floor, matches high_pass_fft_lowrank
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@lru_cache(maxsize=32)
+def _padded_factors(n: int, m: int, k: int):
+    """Axis factors zero-padded from 2m to k rows/cols (tile alignment).
+
+    Padding adds zero frequencies: U's extra columns are zero, so the padded
+    product U @ V is exactly the unpadded operator.
+    """
+    ur, ui, vr, vi = _axis_factors(n, m)
+    pad = k - ur.shape[1]
+    ur = np.pad(ur, ((0, 0), (0, pad)))
+    ui = np.pad(ui, ((0, 0), (0, pad)))
+    vr = np.pad(vr, ((0, pad), (0, 0)))
+    vi = np.pad(vi, ((0, pad), (0, 0)))
+    return ur, ui, vr, vi
+
+
+def _pick_tile(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 0
+
+
+def pallas_supported(shape) -> bool:
+    """True if (B,H,W,C) tiles cleanly for the Pallas path."""
+    if len(shape) != 4:
+        return False
+    _, h, w, c = shape
+    wc = w * c
+    return (
+        h >= 8
+        and _pick_tile(h, (64, 32, 16, 8)) > 0
+        and _pick_tile(wc, (4096, 2048, 1024, 512, 256, 128)) > 0
+    )
+
+
+# --- kernel 1: T[b] = V_H @ x[b], accumulated over H tiles -------------------
+# V is passed TRANSPOSED as (H, K): Mosaic requires a block's last dim to be
+# 128-divisible or span the array, which (K, Th) slices violate. Contracting
+# dim 0 of both operands gives the same (K, WCt) product.
+_DN_T = (((0,), (0,)), ((), ()))
+
+
+def _contract_kernel(vrt_ref, vit_ref, x_ref, tr_ref, ti_ref):
+    ht = pl.program_id(2)
+
+    @pl.when(ht == 0)
+    def _():
+        tr_ref[0] = jnp.zeros_like(tr_ref[0])
+        ti_ref[0] = jnp.zeros_like(ti_ref[0])
+
+    xt = x_ref[0]  # (Th, WCt)
+    tr_ref[0] += jax.lax.dot_general(
+        vrt_ref[:], xt, _DN_T, preferred_element_type=jnp.float32
+    )
+    ti_ref[0] += jax.lax.dot_general(
+        vit_ref[:], xt, _DN_T, preferred_element_type=jnp.float32
+    )
+
+
+# --- kernel 2: out = |x - U_H @ S|, fused per tile ---------------------------
+def _expand_kernel(ur_ref, ui_ref, sr_ref, si_ref, x_ref, out_ref):
+    ur = ur_ref[:]  # (Th, K)
+    ui = ui_ref[:]
+    sr = sr_ref[0]  # (K, WCt) f32
+    si = si_ref[0]
+    lr = jnp.dot(ur, sr, preferred_element_type=jnp.float32) - jnp.dot(
+        ui, si, preferred_element_type=jnp.float32
+    )
+    li = jnp.dot(ur, si, preferred_element_type=jnp.float32) + jnp.dot(
+        ui, sr, preferred_element_type=jnp.float32
+    )
+    zr = x_ref[0].astype(jnp.float32) - lr
+    sq = zr * zr + li * li
+    out_ref[0] = jnp.sqrt(jnp.maximum(sq, _EPS)).astype(out_ref.dtype)
+
+
+def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    m = min(mask_range, h // 2, w // 2)  # joint clamp (EELUnet.py:155-157)
+    k = max(_round_up(2 * m, 16), 16)
+    wc = w * c
+    # WCt capped at 4096: the expand kernel holds 2 double-buffered f32 S
+    # blocks + x/out tiles + f32 matmul temporaries; 8192 lanes blows the
+    # 16MB scoped-VMEM limit (measured: 19.03M requested).
+    th = _pick_tile(h, (64, 32, 16, 8))
+    wct = _pick_tile(wc, (4096, 2048, 1024, 512, 256, 128))
+    if th == 0 or wct == 0:
+        raise ValueError(f"unsupported shape for Pallas high-pass: {x.shape}")
+    n_ht, n_wc = h // th, wc // wct
+
+    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
+    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
+    cdt = x.dtype  # matmuls run in the model dtype, f32 accumulation
+    vhr_d = jnp.asarray(np.ascontiguousarray(vhr.T), cdt)  # (H, K)
+    vhi_d = jnp.asarray(np.ascontiguousarray(vhi.T), cdt)
+
+    xm = x.reshape(b, h, wc)
+
+    tr, ti = pl.pallas_call(
+        _contract_kernel,
+        grid=(b, n_wc, n_ht),
+        in_specs=[
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
+        ),
+        interpret=interpret,
+    )(vhr_d, vhi_d, xm)
+
+    # --- XLA middle on the skinny T: contract then expand the W axis -------
+    # T is (B, K, W, C); all four einsums touch K-row data only (~2% of x).
+    prec = jax.lax.Precision.HIGHEST
+    tr4 = tr.reshape(b, k, w, c)
+    ti4 = ti.reshape(b, k, w, c)
+
+    def ein(eq, a, t):
+        return jnp.einsum(eq, jnp.asarray(a), t, precision=prec)
+
+    core_r = ein("lw,bkwc->bklc", vwr, tr4) - ein("lw,bkwc->bklc", vwi, ti4)
+    core_i = ein("lw,bkwc->bklc", vwr, ti4) + ein("lw,bkwc->bklc", vwi, tr4)
+    s_r = ein("wl,bklc->bkwc", uwr, core_r) - ein("wl,bklc->bkwc", uwi, core_i)
+    s_i = ein("wl,bklc->bkwc", uwr, core_i) + ein("wl,bklc->bkwc", uwi, core_r)
+    s_r = s_r.reshape(b, k, wc)
+    s_i = s_i.reshape(b, k, wc)
+
+    out = pl.pallas_call(
+        _expand_kernel,
+        grid=(b, n_wc, n_ht),
+        in_specs=[
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wc), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray(uhr, jnp.float32), jnp.asarray(uhi, jnp.float32), s_r, s_i, xm)
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def high_pass_fft_pallas(x: jnp.ndarray, mask_range: int = 20, interpret: bool = False):
+    """abs(x - lowpass(x)) for NHWC input — fused Pallas TPU path.
+
+    Numerically matches ``high_pass_fft_lowrank`` run at the same dtype
+    (identical matmul structure; f32 accumulation). Backward pass is the
+    transpose of the XLA low-rank path.
+    """
+    return _highpass_fwd(x, mask_range, interpret)
+
+
+def _vjp_fwd(x, mask_range, interpret):
+    return _highpass_fwd(x, mask_range, interpret), x
+
+
+def _vjp_bwd(mask_range, interpret, x, g):
+    _, vjp = jax.vjp(lambda v: high_pass_fft_lowrank(v, mask_range), x)
+    return vjp(g)
+
+
+high_pass_fft_pallas.defvjp(_vjp_fwd, _vjp_bwd)

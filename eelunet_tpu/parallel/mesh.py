@@ -22,25 +22,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> Mesh:
-    """Build a ('data','model') mesh. data_axis=-1 uses all remaining devices."""
+def create_mesh(data_axis: int = -1, model_axis: int = 1, spatial_axis: int = 1, devices=None) -> Mesh:
+    """Build a ('data','model','spatial') mesh. data_axis=-1 uses all
+    remaining devices. 'spatial' shards image HEIGHT (activations) — the
+    framework's sequence-parallel analog (SURVEY.md §5) — and composes with
+    data parallelism in one jitted step; XLA inserts the conv halo exchanges
+    and pooling/norm psums."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
-    if model_axis < 1:
-        model_axis = 1
+    model_axis = max(model_axis, 1)
+    spatial_axis = max(spatial_axis, 1)
+    per_replica = model_axis * spatial_axis
     if data_axis == -1:
-        if n % model_axis != 0:
-            raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
-        data_axis = n // model_axis
-    if data_axis * model_axis > n:
-        raise ValueError(f"mesh {data_axis}x{model_axis} needs more than {n} devices")
-    grid = devices[: data_axis * model_axis].reshape(data_axis, model_axis)
-    return Mesh(grid, ("data", "model"))
+        if n % per_replica != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model_axis*spatial_axis={per_replica}"
+            )
+        data_axis = n // per_replica
+    if data_axis * per_replica > n:
+        raise ValueError(f"mesh {data_axis}x{model_axis}x{spatial_axis} needs more than {n} devices")
+    grid = devices[: data_axis * per_replica].reshape(data_axis, model_axis, spatial_axis)
+    return Mesh(grid, ("data", "model", "spatial"))
+
+
+def spatial_size(mesh: Mesh) -> int:
+    return mesh.shape["spatial"] if "spatial" in mesh.axis_names else 1
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'; replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard batch over 'data' and (NHWC dim 1) image height over 'spatial'
+    when that axis is >1; replicate the rest."""
+    sp = "spatial" if ndim >= 2 and spatial_size(mesh) > 1 else None
+    return NamedSharding(mesh, P("data", sp, *([None] * (ndim - 2))))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

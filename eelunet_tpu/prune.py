@@ -30,14 +30,20 @@ def _is_conv_kernel(path, p) -> bool:
     return key == "kernel" and hasattr(p, "ndim") and p.ndim == 4
 
 
-def compute_prune_masks(params, amount: float) -> Tuple[Any, Dict[str, float]]:
+def compute_prune_masks(params, amount: float, zero_bias: bool = False) -> Tuple[Any, Dict[str, float]]:
     """Per-conv masks zeroing the lowest-L2 ``amount`` fraction of output
-    channels. Returns (mask pytree, per-layer sparsity report)."""
+    channels. Returns (mask pytree, per-layer sparsity report).
+
+    ``zero_bias=False`` matches torch ``ln_structured`` exactly (weights only;
+    a pruned channel still emits its bias). ``zero_bias=True`` masks the
+    sibling bias too, making the channel's output exactly zero — the
+    precondition for physical removal (prune_physical.py)."""
     report: Dict[str, float] = {}
+    keep_by_parent: Dict[tuple, jnp.ndarray] = {}
 
     def make_mask(path, p):
         if not _is_conv_kernel(path, p):
-            return jnp.ones_like(p)
+            return None  # second pass fills biases / non-conv leaves
         cout = p.shape[-1]
         k = int(round(amount * cout))  # torch ln_structured rounds
         if k == 0:
@@ -47,9 +53,22 @@ def compute_prune_masks(params, amount: float) -> Tuple[Any, Dict[str, float]]:
         keep = jnp.ones((cout,), p.dtype).at[order[:k]].set(0.0)
         name = "/".join(str(getattr(q, "key", getattr(q, "name", q))) for q in path)
         report[name] = float(k) / cout
+        keep_by_parent[tuple(str(q) for q in path[:-1])] = keep
         return jnp.broadcast_to(keep, p.shape)
 
     masks = jax.tree_util.tree_map_with_path(make_mask, params)
+
+    def fill(path, mask, p):
+        if mask is not None:
+            return mask
+        last = path[-1]
+        key = getattr(last, "key", getattr(last, "name", None))
+        parent = tuple(str(q) for q in path[:-1])
+        if zero_bias and key == "bias" and parent in keep_by_parent:
+            return keep_by_parent[parent].astype(p.dtype)
+        return jnp.ones_like(p)
+
+    masks = jax.tree_util.tree_map_with_path(fill, masks, params, is_leaf=lambda x: x is None)
     return masks, report
 
 

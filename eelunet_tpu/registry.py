@@ -79,7 +79,12 @@ def create_model(model_cfg) -> Tuple[Any, ModelMeta]:
     if name in ("unet", "unet++"):
         model = cls(out_channels=model_cfg.out_channels, dtype=dtype)
     elif name == "eelunet":
-        model = cls(out_channels=model_cfg.out_channels, mask_range=model_cfg.fft_mask_range, dtype=dtype)
+        model = cls(
+            out_channels=model_cfg.out_channels,
+            mask_range=model_cfg.fft_mask_range,
+            highpass_impl=getattr(model_cfg, "highpass_impl", "auto"),
+            dtype=dtype,
+        )
     elif name == "egeunet":
         model = cls(
             num_classes=model_cfg.out_channels,

@@ -31,7 +31,13 @@ from eelunet_tpu import losses as L
 from eelunet_tpu import metrics as M
 from eelunet_tpu.config import TrainConfig
 from eelunet_tpu.data.pipeline import DataLoader, prefetch_to_device
-from eelunet_tpu.parallel.mesh import batch_sharding, create_mesh, param_shardings, replicated_sharding
+from eelunet_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated_sharding,
+    spatial_size,
+)
 from eelunet_tpu.registry import ModelOutput, create_model, seg_probabilities
 from eelunet_tpu.train.checkpoint import BestTracker, CheckpointManager
 from eelunet_tpu.train.state import TrainState, create_train_state
@@ -101,8 +107,17 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
-        self.model, self.meta = create_model(cfg.model)
-        self.mesh = mesh if mesh is not None else create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis
+        )
+        model_cfg = cfg.model
+        if spatial_size(self.mesh) > 1 and getattr(model_cfg, "highpass_impl", "auto") == "auto":
+            # H-sharded activations: the low-rank matmul high-pass is
+            # XLA-partitionable; a pallas_call would be gathered+replicated.
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, highpass_impl="lowrank")
+        self.model, self.meta = create_model(model_cfg)
         self.loss_name = L.resolve_loss_name(cfg.loss.name, cfg.model.name)
         self.loss_fn = make_loss_fn(self.loss_name, cfg.loss, self.meta)
         self._steps: Dict[str, Any] = {}
@@ -156,12 +171,15 @@ class Trainer:
         bs = batch_sharding(self.mesh)
         rep = replicated_sharding(self.mesh)
         n_data = self.mesh.shape["data"]
+        n_sp = spatial_size(self.mesh)
 
         def shard_or_replicate(batch):
             # Tail batches that don't divide the data axis (eval loaders never
             # drop samples) can't be batch-sharded; replicate them instead —
-            # slower for that one batch, but metrics stay exact.
-            sharding = bs if batch[0].shape[0] % n_data == 0 else rep
+            # slower for that one batch, but metrics stay exact. Same fallback
+            # if image height doesn't divide the spatial axis.
+            divisible = batch[0].shape[0] % n_data == 0 and batch[0].shape[1] % n_sp == 0
+            sharding = bs if divisible else rep
             return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tuple(batch))
 
         return prefetch_to_device(

@@ -1,0 +1,83 @@
+"""Physical channel removal: slim Unet must reproduce the bias-zeroed masked
+model exactly, with the expected ~(1-a)^2 conv-param shrink."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eelunet_tpu.models.unet import Unet
+from eelunet_tpu.prune import apply_masks, compute_prune_masks
+from eelunet_tpu.prune_physical import (
+    l2_keep_indices,
+    load_slim,
+    param_count,
+    physical_prune_unet,
+    save_slim,
+    slim_unet,
+)
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    model = Unet()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    return model, params, x
+
+
+def test_l2_keep_indices_rounding_and_order():
+    k = np.zeros((3, 3, 2, 8), np.float32)
+    k[..., :] = np.arange(1, 9)  # channel c has norm ~ (c+1)
+    keep = l2_keep_indices(k, 0.25)  # drop round(2) lowest = channels 0,1
+    assert keep.tolist() == [2, 3, 4, 5, 6, 7]
+    assert l2_keep_indices(k, 0.0).tolist() == list(range(8))
+
+
+def test_sliced_matches_bias_zeroed_masked(unet_setup):
+    model, params, x = unet_setup
+    amount = 0.3
+    masks, _ = compute_prune_masks(params, amount, zero_bias=True)
+    masked = apply_masks(params, masks)
+    want = model.apply({"params": masked}, x).seg
+
+    slim_params, widths = physical_prune_unet(masked, amount)
+    slim = slim_unet(widths)
+    got = slim.apply({"params": slim_params}, x).seg
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_bias_leak_without_zero_bias(unet_setup):
+    """Documents WHY zero_bias is required: torch-semantics masks (weights
+    only) leave bias constants flowing through ReLU, so slicing changes the
+    function."""
+    model, params, x = unet_setup
+    masks, _ = compute_prune_masks(params, 0.3, zero_bias=False)
+    masked = apply_masks(params, masks)
+    want = model.apply({"params": masked}, x).seg
+    slim_params, widths = physical_prune_unet(masked, 0.3)
+    got = slim_unet(widths).apply({"params": slim_params}, x).seg
+    assert not np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_param_shrink(unet_setup):
+    _, params, _ = unet_setup
+    slim_params, widths = physical_prune_unet(params, 0.3)
+    ratio = param_count(slim_params) / param_count(params)
+    # Conv params scale by ~(1-0.3)^2 = 0.49 (first conv keeps 3 inputs).
+    assert 0.4 < ratio < 0.6
+    assert widths["bottleneck_widths"] == (717, 717)
+    assert widths["up_widths"] == (358, 179, 90, 45)
+
+
+def test_slim_roundtrip(tmp_path, unet_setup):
+    model, params, x = unet_setup
+    masks, _ = compute_prune_masks(params, 0.5, zero_bias=True)
+    slim_params, widths = physical_prune_unet(apply_masks(params, masks), 0.5)
+    want = slim_unet(widths).apply({"params": slim_params}, x).seg
+
+    save_slim(str(tmp_path / "slim"), slim_params, widths)
+    model2, params2 = load_slim(str(tmp_path / "slim"))
+    got = model2.apply({"params": params2}, x).seg
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
