@@ -33,7 +33,17 @@ def main(argv=None):
         help="after finetune, physically remove the pruned channels "
         "(unet only) and save a slim checkpoint (params + widths.json)",
     )
+    p.add_argument(
+        "--prune_round_to",
+        type=int,
+        default=0,
+        help="round KEPT channel counts up to this multiple (0 = auto: 64 "
+        "with --physical for TPU tile alignment, 1 otherwise — misaligned "
+        "slim models run SLOWER than unpruned ones, see prune_physical.py)",
+    )
     args = p.parse_args(argv)
+    if args.prune_round_to == 0:
+        args.prune_round_to = 64 if args.physical else 1
     cfg = load_config(args)
     if args.physical and cfg.model.name != "unet":
         p.error("--physical supports model_type=unet (see prune_physical.py docs)")
@@ -50,7 +60,9 @@ def main(argv=None):
 
     # Physical removal needs bias-zeroed masks so slicing is exact (see
     # prune_physical.py); the default mask path matches torch ln_structured.
-    masks, plan = compute_prune_masks(state.params, args.prune_amount, zero_bias=args.physical)
+    masks, plan = compute_prune_masks(
+        state.params, args.prune_amount, zero_bias=args.physical, round_to=args.prune_round_to
+    )
     state = state.replace(params=apply_masks(state.params, masks))
     print(f"== pruned (amount={args.prune_amount}) ==")
     for name, frac in sparsity_report(state.params).items():
@@ -84,7 +96,9 @@ def main(argv=None):
         # Masked finetune keeps pruned channels exactly zero (kernel+bias) —
         # slicing them out is a pure re-indexing of the same function.
         n0 = param_count(state.params)
-        slim_params, widths = physical_prune_unet(state.params, args.prune_amount)
+        slim_params, widths = physical_prune_unet(
+            state.params, args.prune_amount, round_to=args.prune_round_to
+        )
         n1 = param_count(slim_params)
         model = slim_unet(widths, out_channels=cfg.model.out_channels)
         print(f"== physical ==\nparams: {n0 / 1e6:.2f}M -> {n1 / 1e6:.2f}M ({n1 / n0:.1%})")

@@ -30,14 +30,18 @@ def _is_conv_kernel(path, p) -> bool:
     return key == "kernel" and hasattr(p, "ndim") and p.ndim == 4
 
 
-def compute_prune_masks(params, amount: float, zero_bias: bool = False) -> Tuple[Any, Dict[str, float]]:
+def compute_prune_masks(
+    params, amount: float, zero_bias: bool = False, round_to: int = 1
+) -> Tuple[Any, Dict[str, float]]:
     """Per-conv masks zeroing the lowest-L2 ``amount`` fraction of output
     channels. Returns (mask pytree, per-layer sparsity report).
 
     ``zero_bias=False`` matches torch ``ln_structured`` exactly (weights only;
     a pruned channel still emits its bias). ``zero_bias=True`` masks the
     sibling bias too, making the channel's output exactly zero — the
-    precondition for physical removal (prune_physical.py)."""
+    precondition for physical removal (prune_physical.py). ``round_to``
+    rounds kept counts up to a multiple (see l2_keep_indices: misaligned
+    channel counts are slower than not pruning on TPU)."""
     report: Dict[str, float] = {}
     keep_by_parent: Dict[tuple, jnp.ndarray] = {}
 
@@ -46,7 +50,10 @@ def compute_prune_masks(params, amount: float, zero_bias: bool = False) -> Tuple
             return None  # second pass fills biases / non-conv leaves
         cout = p.shape[-1]
         k = int(round(amount * cout))  # torch ln_structured rounds
-        if k == 0:
+        if round_to > 1:
+            keep_n = min(cout, -(-(cout - k) // round_to) * round_to)
+            k = cout - keep_n
+        if k <= 0:
             return jnp.ones_like(p)
         norms = jnp.sqrt(jnp.sum(jnp.asarray(p, jnp.float32) ** 2, axis=(0, 1, 2)))
         order = jnp.argsort(norms)

@@ -84,25 +84,37 @@ def _set(tree, path, value):
     tree[path[-1]] = value
 
 
-def l2_keep_indices(kernel: np.ndarray, amount: float) -> np.ndarray:
+def l2_keep_indices(kernel: np.ndarray, amount: float, round_to: int = 1) -> np.ndarray:
     """Indices of output channels kept by L2-structured pruning: drop the
     ``round(amount * cout)`` lowest-norm channels (torch ln_structured
-    rounding, prune.py:251-253). Order-preserving."""
+    rounding, prune.py:251-253). Order-preserving.
+
+    ``round_to``: round the KEPT count up to a multiple (dropping fewer
+    channels). TPU-critical — misaligned channel counts break XLA's conv
+    tiling onto the (8,128) vector registers; measured: a 30% prune with raw
+    counts (717/358/179/90/45) ran 0.63x the UNPRUNED model's speed, while
+    lane-aligned counts run faster than fraction-of-FLOPs would predict
+    (docs/PERF.md)."""
     cout = kernel.shape[-1]
     k = int(round(amount * cout))
-    if k == 0:
+    keep_n = cout - k
+    if round_to > 1:
+        keep_n = min(cout, -(-keep_n // round_to) * round_to)
+    k = cout - keep_n
+    if k <= 0:
         return np.arange(cout)
     norms = np.sqrt((np.asarray(kernel, np.float64) ** 2).sum(axis=tuple(range(kernel.ndim - 1))))
     drop = set(np.argsort(norms, kind="stable")[:k].tolist())
     return np.asarray([i for i in range(cout) if i not in drop], np.int64)
 
 
-def physical_prune_unet(params, amount: float) -> Tuple[Any, Dict[str, Any]]:
+def physical_prune_unet(params, amount: float, round_to: int = 1) -> Tuple[Any, Dict[str, Any]]:
     """Slice the lowest-L2 ``amount`` fraction of channels out of every
     prunable conv of a vanilla Unet param tree.
 
     Returns (slim param tree, widths dict) where widths are the constructor
-    kwargs for a matching ``models.unet.Unet``.
+    kwargs for a matching ``models.unet.Unet``. Pass the same ``round_to`` to
+    ``compute_prune_masks`` so the masked-finetune channel sets match.
     """
     from flax.core import unfreeze
 
@@ -110,7 +122,7 @@ def physical_prune_unet(params, amount: float) -> Tuple[Any, Dict[str, Any]]:
 
     keep: Dict[str, np.ndarray] = {}
     for name, producer, _ in UNET_GROUPS:
-        keep[name] = l2_keep_indices(_get(p, producer)["kernel"], amount)
+        keep[name] = l2_keep_indices(_get(p, producer)["kernel"], amount, round_to)
 
     # Producer slice: kernel cout + bias (bias zeroed first — see module doc).
     for name, producer, _ in UNET_GROUPS:

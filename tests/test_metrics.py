@@ -85,7 +85,31 @@ def test_boundary_f1_empty_masks():
     assert got == 0.0
 
 
-def test_boundary_f1_vs_cv2():
+def _load_cv2_golden():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "cv2_boundary.npz")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("case", ["d1", "d2", "d3", "border"])
+def test_boundary_f1_vs_vendored_cv2_golden(case):
+    """cv2.erode-derived goldens are VENDORED (tests/golden/cv2_boundary.npz,
+    regenerate with gen_cv2_goldens.py) so this never skips when cv2 is
+    absent. Covers erosion iteration counts 1-3 and a border-touching blob."""
+    g = _load_cv2_golden()
+    gt, pred = g[f"{case}_gt"], g[f"{case}_pred"]
+    gb = np.asarray(M.seg2bnd(jnp.array(gt[None, :, :, None])))[0, :, :, 0] > 0.5
+    pb = np.asarray(M.seg2bnd(jnp.array(pred[None, :, :, None])))[0, :, :, 0] > 0.5
+    np.testing.assert_array_equal(gb, g[f"{case}_gt_bnd"])
+    np.testing.assert_array_equal(pb, g[f"{case}_pred_bnd"])
+    got = float(M.boundary_f1_batch(jnp.array(gt[None, :, :, None]), jnp.array(pred[None, :, :, None]))[0])
+    assert abs(got - float(g[f"{case}_f1"])) < 1e-5
+
+
+def test_boundary_f1_vs_live_cv2():
+    """Cross-check against a LIVE cv2 when present (guards against the
+    vendored file going stale vs a new OpenCV)."""
     cv2 = pytest.importorskip("cv2")
     gt = _blob(64, 64, 32, 32, 18)
     pred = _blob(64, 64, 34, 30, 17)

@@ -34,6 +34,28 @@ def test_l2_keep_indices_rounding_and_order():
     assert l2_keep_indices(k, 0.0).tolist() == list(range(8))
 
 
+def test_l2_keep_indices_round_to():
+    k = np.zeros((3, 3, 2, 8), np.float32)
+    k[..., :] = np.arange(1, 9)
+    # amount=0.3 -> drop round(2.4)=2, keep 6; round_to=4 rounds keep up to 8.
+    assert len(l2_keep_indices(k, 0.3, round_to=4)) == 8
+    assert len(l2_keep_indices(k, 0.3, round_to=2)) == 6
+    assert len(l2_keep_indices(k, 0.3, round_to=3)) == 6
+
+
+def test_round_to_consistency_masks_vs_slice(unet_setup):
+    """round_to must produce identical channel sets in the mask path and the
+    physical slice (the finetune precedes the slice)."""
+    model, params, x = unet_setup
+    masks, _ = compute_prune_masks(params, 0.3, zero_bias=True, round_to=64)
+    masked = apply_masks(params, masks)
+    want = model.apply({"params": masked}, x).seg
+    slim_params, widths = physical_prune_unet(masked, 0.3, round_to=64)
+    got = slim_unet(widths).apply({"params": slim_params}, x).seg
+    assert widths["up_widths"] == (384, 192, 128, 64)  # lane-aligned keeps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_sliced_matches_bias_zeroed_masked(unet_setup):
     model, params, x = unet_setup
     amount = 0.3
