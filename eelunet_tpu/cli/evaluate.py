@@ -21,25 +21,40 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args)
 
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
-    trainer = Trainer(cfg, mesh=mesh)
-    state = trainer.init_state()
-
-    if args.checkpoint and os.path.exists(args.checkpoint):
-        state = trainer.ckpt.restore_params(args.checkpoint, state)
-        print(f"Loaded model weights from {args.checkpoint}")
-    elif args.checkpoint:
-        print(f"Checkpoint not found at {args.checkpoint}. Evaluating untrained model.")
-
     d = cfg.data
     ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
     # Never drop tail samples during evaluation — metrics must cover the
     # whole split (the reference's loader doesn't drop either, evaluate.py:147).
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
 
-    print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
-    print(f"Model: {cfg.model.name}")
-    m = trainer.evaluate(state, loader)
+    from eelunet_tpu.prune_physical import evaluate_params, is_slim_checkpoint, load_slim
+
+    if args.checkpoint and is_slim_checkpoint(args.checkpoint):
+        # Physically pruned unet: rebuild the slim module from widths.json.
+        import jax.numpy as jnp
+
+        from eelunet_tpu.registry import MODEL_REGISTRY
+
+        dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
+        model, params = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
+        print(f"Loaded slim (physically pruned) weights from {args.checkpoint}")
+        print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
+        print(f"Model: {cfg.model.name} (slim)")
+        m = evaluate_params(model, MODEL_REGISTRY["unet"], params, iter(loader), cfg.threshold)
+    else:
+        mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state()
+
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            state = trainer.ckpt.restore_params(args.checkpoint, state)
+            print(f"Loaded model weights from {args.checkpoint}")
+        elif args.checkpoint:
+            print(f"Checkpoint not found at {args.checkpoint}. Evaluating untrained model.")
+
+        print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
+        print(f"Model: {cfg.model.name}")
+        m = trainer.evaluate(state, loader)
     print("Evaluation Metrics:")
     print(f"Pixel Accuracy: {m['pixel_accuracy']:.4f}")
     print(f"Precision: {m['precision']:.4f}")

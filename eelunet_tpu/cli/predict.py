@@ -38,12 +38,28 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args)
 
-    mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
-    trainer = Trainer(cfg, mesh=mesh)
-    state = trainer.init_state()
     if not os.path.exists(args.checkpoint):
         raise FileNotFoundError(f"Checkpoint not found: {args.checkpoint}")  # test.py:86
-    state = trainer.ckpt.restore_params(args.checkpoint, state)
+
+    from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
+
+    if is_slim_checkpoint(args.checkpoint):
+        # Physically pruned unet: rebuild the slim module from widths.json.
+        import jax.numpy as jnp
+
+        from eelunet_tpu.registry import MODEL_REGISTRY
+
+        dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
+        model, slim_params = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
+        meta = MODEL_REGISTRY["unet"]
+        params, batch_stats = slim_params, {}
+    else:
+        mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state()
+        state = trainer.ckpt.restore_params(args.checkpoint, state)
+        model, meta = trainer.model, trainer.meta
+        params, batch_stats = state.params, state.batch_stats
 
     d = cfg.data
     ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
@@ -51,9 +67,6 @@ def main(argv=None):
 
     out_dir = os.path.join(args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
     os.makedirs(out_dir, exist_ok=True)
-
-    model, meta = trainer.model, trainer.meta
-    has_bs = True
 
     @jax.jit
     def forward(params, batch_stats, images):
@@ -65,7 +78,7 @@ def main(argv=None):
 
     i = 0
     for images, _ in loader:
-        probs = np.asarray(forward(state.params, state.batch_stats, images))
+        probs = np.asarray(forward(params, batch_stats, images))
         preds = (probs > cfg.threshold).astype(np.float32)
         for b in range(preds.shape[0]):
             save_mask(preds[b, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"))

@@ -39,11 +39,24 @@ class Predictor:
         self._forward = _forward
 
     def load(self, checkpoint: str):
-        """Restore weights (+BN stats) from an orbax checkpoint dir."""
+        """Restore weights (+BN stats) from an orbax checkpoint dir. Slim
+        (physically pruned, prune_physical.save_slim) checkpoints are
+        auto-detected and swap in the slimmed module; the jitted forward
+        retraces on the new param structure."""
         import os
 
         import orbax.checkpoint as ocp
 
+        from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
+
+        if is_slim_checkpoint(checkpoint):
+            self.model, self.params = load_slim(
+                checkpoint,
+                out_channels=getattr(self.model, "out_channels", 1),
+                dtype=self.model.dtype,
+            )
+            self.batch_stats = {}
+            return
         tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
         self.params = tree["params"]
         self.batch_stats = tree["batch_stats"]

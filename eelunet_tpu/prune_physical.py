@@ -212,6 +212,12 @@ def save_slim(path: str, params, widths: Dict[str, Any]) -> str:
     return path
 
 
+def is_slim_checkpoint(path: str) -> bool:
+    """Slim checkpoints (save_slim) carry a widths.json sidecar — used by the
+    CLIs to auto-detect physically pruned models behind --checkpoint."""
+    return os.path.isfile(os.path.join(path, "widths.json"))
+
+
 def load_slim(path: str, out_channels: int = 1, dtype=None):
     """Load a slim checkpoint -> (model, params)."""
     import jax.numpy as jnp

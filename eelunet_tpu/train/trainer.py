@@ -156,7 +156,15 @@ class Trainer:
             return self._steps[name]
         has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
         if name == "train":
-            fn = make_train_step(self.model, self.loss_fn, has_bs, self.cfg.donate_buffers, self.cfg.remat)
+            train_model = self.model
+            if getattr(train_model, "highpass_impl", None) == "auto":
+                # The Pallas high-pass wins on inference (-4.4%) but its
+                # custom VJP recomputes the XLA path in the backward — a net
+                # +8 ms/step at 512^2 (measured). Pin the XLA low-rank path
+                # for gradient steps; eval/predict keep the Pallas kernel.
+                # Param trees are identical, so the state is shared.
+                train_model = train_model.clone(highpass_impl="lowrank")
+            fn = make_train_step(train_model, self.loss_fn, has_bs, self.cfg.donate_buffers, self.cfg.remat)
         elif name == "eval_loss":
             fn = make_eval_loss_step(self.model, self.loss_fn, has_bs)
         elif name == "eval":

@@ -93,6 +93,25 @@ def test_param_shrink(unet_setup):
     assert widths["up_widths"] == (358, 179, 90, 45)
 
 
+def test_predictor_autodetects_slim(tmp_path, unet_setup):
+    """Predictor.load and the CLIs detect slim checkpoints by widths.json."""
+    from eelunet_tpu.config import ModelConfig
+    from eelunet_tpu.inference import Predictor
+    from eelunet_tpu.prune_physical import is_slim_checkpoint
+
+    _, params, x = unet_setup
+    masks, _ = compute_prune_masks(params, 0.5, zero_bias=True)
+    slim_params, widths = physical_prune_unet(apply_masks(params, masks), 0.5)
+    path = save_slim(str(tmp_path / "slim"), slim_params, widths)
+    assert is_slim_checkpoint(path) and not is_slim_checkpoint(str(tmp_path))
+
+    pred = Predictor(ModelConfig(name="unet"))
+    pred.load(path)
+    want = jax.nn.sigmoid(slim_unet(widths).apply({"params": slim_params}, x).seg)
+    got = pred.predict_proba(np.asarray(x))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
 def test_slim_roundtrip(tmp_path, unet_setup):
     model, params, x = unet_setup
     masks, _ = compute_prune_masks(params, 0.5, zero_bias=True)
