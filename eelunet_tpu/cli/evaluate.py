@@ -36,11 +36,12 @@ def main(argv=None):
         from eelunet_tpu.registry import MODEL_REGISTRY
 
         dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
-        model, params = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
+        model, params, bstats = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
         print(f"Loaded slim (physically pruned) weights from {args.checkpoint}")
         print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
         print(f"Model: {cfg.model.name} (slim)")
-        m = evaluate_params(model, MODEL_REGISTRY["unet"], params, iter(loader), cfg.threshold)
+        meta = MODEL_REGISTRY["eelunet" if type(model).__name__ == "EELUnet" else "unet"]
+        m = evaluate_params(model, meta, params, iter(loader), cfg.threshold, batch_stats=bstats)
     else:
         mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
         trainer = Trainer(cfg, mesh=mesh)

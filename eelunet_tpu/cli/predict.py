@@ -50,9 +50,8 @@ def main(argv=None):
         from eelunet_tpu.registry import MODEL_REGISTRY
 
         dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
-        model, slim_params = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
-        meta = MODEL_REGISTRY["unet"]
-        params, batch_stats = slim_params, {}
+        model, params, batch_stats = load_slim(args.checkpoint, cfg.model.out_channels, dtype=dtype)
+        meta = MODEL_REGISTRY["eelunet" if type(model).__name__ == "EELUnet" else "unet"]
     else:
         mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
         trainer = Trainer(cfg, mesh=mesh)

@@ -37,16 +37,17 @@ def main(argv=None):
         "--prune_round_to",
         type=int,
         default=0,
-        help="round KEPT channel counts up to this multiple (0 = auto: 64 "
-        "with --physical for TPU tile alignment, 1 otherwise — misaligned "
-        "slim models run SLOWER than unpruned ones, see prune_physical.py)",
+        help="round KEPT channel counts up to this multiple (0 = auto with "
+        "--physical: 64 for unet, 32 for eelunet — measured optima; "
+        "misaligned slim models run SLOWER than unpruned ones, and eelunet's "
+        "full-resolution 64-wide stages never shrink at 64. 1 otherwise)",
     )
     args = p.parse_args(argv)
-    if args.prune_round_to == 0:
-        args.prune_round_to = 64 if args.physical else 1
     cfg = load_config(args)
-    if args.physical and cfg.model.name != "unet":
-        p.error("--physical supports model_type=unet (see prune_physical.py docs)")
+    if args.physical and cfg.model.name not in ("unet", "eelunet"):
+        p.error("--physical supports model_type unet/eelunet (see prune_physical.py docs)")
+    if args.prune_round_to == 0:
+        args.prune_round_to = (32 if cfg.model.name == "eelunet" else 64) if args.physical else 1
 
     mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
     trainer = Trainer(cfg, mesh=mesh)
@@ -58,11 +59,18 @@ def main(argv=None):
     m0 = trainer.evaluate(state, test_loader)
     print({k: round(v, 4) for k, v in m0.items()})
 
-    # Physical removal needs bias-zeroed masks so slicing is exact (see
-    # prune_physical.py); the default mask path matches torch ln_structured.
-    masks, plan = compute_prune_masks(
-        state.params, args.prune_amount, zero_bias=args.physical, round_to=args.prune_round_to
-    )
+    # Physical removal needs masks that zero the whole channel (kernel+bias,
+    # and BN gamma/beta for eelunet) so slicing is exact (prune_physical.py);
+    # the default mask path matches torch ln_structured (weights only).
+    if args.physical and cfg.model.name == "eelunet":
+        from eelunet_tpu.prune_physical import eelunet_prune_masks
+
+        masks, _keeps = eelunet_prune_masks(state.params, args.prune_amount, args.prune_round_to)
+        plan = None
+    else:
+        masks, plan = compute_prune_masks(
+            state.params, args.prune_amount, zero_bias=args.physical, round_to=args.prune_round_to
+        )
     state = state.replace(params=apply_masks(state.params, masks))
     print(f"== pruned (amount={args.prune_amount}) ==")
     for name, frac in sparsity_report(state.params).items():
@@ -88,25 +96,39 @@ def main(argv=None):
         from eelunet_tpu.prune_physical import (
             evaluate_params,
             param_count,
+            physical_prune_eelunet,
             physical_prune_unet,
             save_slim,
+            slim_eelunet,
             slim_unet,
         )
 
-        # Masked finetune keeps pruned channels exactly zero (kernel+bias) —
-        # slicing them out is a pure re-indexing of the same function.
+        # Masked finetune keeps pruned channels exactly zero (kernel+bias+BN)
+        # — slicing them out is a pure re-indexing of the same function.
         n0 = param_count(state.params)
-        slim_params, widths = physical_prune_unet(
-            state.params, args.prune_amount, round_to=args.prune_round_to
-        )
+        slim_bs = None
+        if cfg.model.name == "eelunet":
+            slim_params, slim_bs, widths = physical_prune_eelunet(
+                state.params, state.batch_stats, args.prune_amount, args.prune_round_to
+            )
+            model = slim_eelunet(
+                widths, out_channels=cfg.model.out_channels, mask_range=cfg.model.fft_mask_range
+            )
+        else:
+            slim_params, widths = physical_prune_unet(
+                state.params, args.prune_amount, round_to=args.prune_round_to
+            )
+            model = slim_unet(widths, out_channels=cfg.model.out_channels)
         n1 = param_count(slim_params)
-        model = slim_unet(widths, out_channels=cfg.model.out_channels)
         print(f"== physical ==\nparams: {n0 / 1e6:.2f}M -> {n1 / 1e6:.2f}M ({n1 / n0:.1%})")
         m3 = evaluate_params(
-            model, trainer.meta, slim_params, trainer._device_batches(test_loader), cfg.threshold
+            model, trainer.meta, slim_params, trainer._device_batches(test_loader),
+            cfg.threshold, batch_stats=slim_bs,
         )
         print({k: round(v, 4) for k, v in m3.items()})
-        slim_path = save_slim(path + "_slim", slim_params, widths)
+        slim_path = save_slim(
+            path + "_slim", slim_params, widths, batch_stats=slim_bs, model_name=cfg.model.name
+        )
         print(f"Saved slim checkpoint to {slim_path}")
 
 

@@ -50,12 +50,11 @@ class Predictor:
         from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
 
         if is_slim_checkpoint(checkpoint):
-            self.model, self.params = load_slim(
+            self.model, self.params, self.batch_stats = load_slim(
                 checkpoint,
                 out_channels=getattr(self.model, "out_channels", 1),
                 dtype=self.model.dtype,
             )
-            self.batch_stats = {}
             return
         tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
         self.params = tree["params"]

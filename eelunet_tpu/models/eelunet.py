@@ -172,14 +172,19 @@ class PredictionGuidedRefinement(nn.Module):
 
 
 class MlpConvBlock(nn.Module):
-    """conv3x3 -> BN -> ReLU -> CAPMLP -> BN -> ReLU (EELUnet.py:347-359)."""
+    """conv3x3 -> BN -> ReLU -> CAPMLP -> BN -> ReLU (EELUnet.py:347-359).
+
+    ``features_mid`` overrides the conv3x3 width (physically pruned models,
+    prune_physical.py); default = ``features``.
+    """
 
     features: int
+    features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = TorchConv(self.features_mid or self.features, (3, 3), dtype=self.dtype)(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
@@ -202,14 +207,19 @@ class UpConvBN(nn.Module):
 
 
 class MlpUpConvBlock(nn.Module):
-    """ConvTranspose(k2,s2) -> CAPMLP -> BN (EELUnet.py:368-374)."""
+    """ConvTranspose(k2,s2) -> CAPMLP -> BN (EELUnet.py:368-374).
+
+    ``features_mid`` overrides the transposed-conv width (physically pruned
+    models); default = ``features``.
+    """
 
     features: int
+    features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchConvTranspose(self.features, dtype=self.dtype)(x)
+        x = TorchConvTranspose(self.features_mid or self.features, dtype=self.dtype)(x)
         x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
         x = BatchNorm(dtype=self.dtype)(x, train)
         return x
@@ -221,63 +231,71 @@ class EELUnet(nn.Module):
     # "auto" | "pallas" | "lowrank" — see high_pass_fft. Pin "lowrank" when
     # sharding activations across chips (XLA partitions matmuls, not kernels).
     highpass_impl: str = "auto"
+    # Physically pruned models carry per-group channel widths as a sorted
+    # tuple of (group_name, size) — see prune_physical.EELUNET group names.
+    # None = reference widths (EELUnet.py:237-333). The final dec1 output
+    # stays 64-wide in pruned models (the channels-last LayerNorm normalizes
+    # over it, so slicing there would change the function).
+    widths: Optional[Tuple[Tuple[str, int], ...]] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> ModelOutput:
         dt = self.dtype
+        wd = dict(self.widths or ())
+        w = lambda name, default: wd.get(name, default)
 
         # Encoder (EELUnet.py:237-252, forward 387-407)
-        enc1 = ConvBlock(64, use_bn=True, dtype=dt, name="enc1")(x, train)
-        enc2 = ConvBlock(128, use_bn=True, dtype=dt, name="enc2")(max_pool2d(enc1, 2), train)
-        enc3 = MlpConvBlock(256, dtype=dt, name="enc3")(max_pool2d(enc2, 2), train)
-        enc4 = MlpConvBlock(512, dtype=dt, name="enc4")(max_pool2d(enc3, 2), train)
+        enc1 = ConvBlock(w("e1", 64), use_bn=True, features_mid=w("e1a", 64), dtype=dt, name="enc1")(x, train)
+        enc2 = ConvBlock(w("e2", 128), use_bn=True, features_mid=w("e2a", 128), dtype=dt, name="enc2")(max_pool2d(enc1, 2), train)
+        enc3 = MlpConvBlock(w("e3", 256), features_mid=w("e3a", 256), dtype=dt, name="enc3")(max_pool2d(enc2, 2), train)
+        enc4 = MlpConvBlock(w("e4", 512), features_mid=w("e4a", 512), dtype=dt, name="enc4")(max_pool2d(enc3, 2), train)
 
         # Bottleneck: BN -> conv3x3 512->1024 -> ReLU -> CAPMLP -> ReLU (255-261)
         b = max_pool2d(enc4, 2)
         b = BatchNorm(dtype=dt, name="bottleneck_bn")(b, train)
-        b = TorchConv(1024, (3, 3), dtype=dt, name="bottleneck_conv")(b)
+        b = TorchConv(w("bna", 1024), (3, 3), dtype=dt, name="bottleneck_conv")(b)
         b = nn.relu(b)
-        b = ChannelAwarePatchedMLP(1024, dtype=dt, name="bottleneck_mlp")(b)
+        b = ChannelAwarePatchedMLP(w("bot", 1024), dtype=dt, name="bottleneck_mlp")(b)
         bottleneck = nn.relu(b)
 
         bottleneck, edge_5 = PredictionGuidedRefinement(dtype=dt, name="pred5")(bottleneck)
 
         # Auxiliary edge branch, sequential from the bottleneck (300-328, 415-418)
-        e4 = MlpUpConvBlock(512, dtype=dt, name="edge_up4")(bottleneck, train)
-        edge_dec4 = MlpConvBlock(512, dtype=dt, name="edge_conv4")(e4, train)
-        e3 = MlpUpConvBlock(256, dtype=dt, name="edge_up3")(edge_dec4, train)
-        edge_dec3 = MlpConvBlock(256, dtype=dt, name="edge_conv3")(e3, train)
-        e2 = UpConvBN(128, dtype=dt, name="edge_up2")(edge_dec3, train)
+        e4 = MlpUpConvBlock(w("eu4", 512), features_mid=w("eu4ct", 512), dtype=dt, name="edge_up4")(bottleneck, train)
+        edge_dec4 = MlpConvBlock(w("d4sum", 512), features_mid=w("ec4a", 512), dtype=dt, name="edge_conv4")(e4, train)
+        e3 = MlpUpConvBlock(w("eu3", 256), features_mid=w("eu3ct", 256), dtype=dt, name="edge_up3")(edge_dec4, train)
+        edge_dec3 = MlpConvBlock(w("d3sum", 256), features_mid=w("ec3a", 256), dtype=dt, name="edge_conv3")(e3, train)
+        e2 = UpConvBN(w("eu2", 128), dtype=dt, name="edge_up2")(edge_dec3, train)
         e2 = high_pass_fft(e2, self.mask_range, self.highpass_impl)
-        edge_dec2 = ConvBlock(128, use_bn=True, dtype=dt, name="edge_conv2")(e2, train)
-        e1 = UpConvBN(64, dtype=dt, name="edge_up1")(edge_dec2, train)
+        edge_dec2 = ConvBlock(w("d2sum", 128), use_bn=True, features_mid=w("ec2a", 128), dtype=dt, name="edge_conv2")(e2, train)
+        e1 = UpConvBN(w("eu1", 64), dtype=dt, name="edge_up1")(edge_dec2, train)
         e1 = high_pass_fft(e1, self.mask_range, self.highpass_impl)
-        edge_dec1 = ConvBlock(64, use_bn=True, dtype=dt, name="edge_conv1")(e1, train)
+        edge_dec1 = ConvBlock(w("d1sum", 64), use_bn=True, features_mid=w("ec1a", 64), dtype=dt, name="edge_conv1")(e1, train)
 
         # Main decoder (421-460): upconv -> +edge -> interleave skip -> block
-        dec4 = MlpUpConvBlock(512, dtype=dt, name="upconv4")(bottleneck, train)
+        dec4 = MlpUpConvBlock(w("d4sum", 512), features_mid=w("u4ct", 512), dtype=dt, name="upconv4")(bottleneck, train)
         dec4 = dec4 + edge_dec4
         dec4 = interleave_channels(dec4, center_crop(enc4, dec4.shape[1], dec4.shape[2]))
-        dec4 = MlpConvBlock(512, dtype=dt, name="dec4")(dec4, train)
+        dec4 = MlpConvBlock(w("d4", 512), features_mid=w("d4a", 512), dtype=dt, name="dec4")(dec4, train)
 
         dec3, edge_4 = PredictionGuidedRefinement(dtype=dt, name="pred4")(dec4)
-        dec3 = MlpUpConvBlock(256, dtype=dt, name="upconv3")(dec3, train)
+        dec3 = MlpUpConvBlock(w("d3sum", 256), features_mid=w("u3ct", 256), dtype=dt, name="upconv3")(dec3, train)
         dec3 = dec3 + edge_dec3
         dec3 = interleave_channels(dec3, center_crop(enc3, dec3.shape[1], dec3.shape[2]))
-        dec3 = MlpConvBlock(256, dtype=dt, name="dec3")(dec3, train)
+        dec3 = MlpConvBlock(w("d3", 256), features_mid=w("d3a", 256), dtype=dt, name="dec3")(dec3, train)
 
         dec2, edge_3 = PredictionGuidedRefinement(dtype=dt, name="pred3")(dec3)
-        dec2 = UpConvBN(128, dtype=dt, name="upconv2")(dec2, train)
+        dec2 = UpConvBN(w("d2sum", 128), dtype=dt, name="upconv2")(dec2, train)
         dec2 = dec2 + edge_dec2
         dec2 = interleave_channels(dec2, center_crop(enc2, dec2.shape[1], dec2.shape[2]))
-        dec2 = ConvBlock(128, use_bn=True, dtype=dt, name="dec2")(dec2, train)
+        dec2 = ConvBlock(w("d2", 128), use_bn=True, features_mid=w("d2a", 128), dtype=dt, name="dec2")(dec2, train)
 
         dec1, edge_2 = PredictionGuidedRefinement(dtype=dt, name="pred2")(dec2)
-        dec1 = UpConvBN(64, dtype=dt, name="upconv1")(dec1, train)
+        dec1 = UpConvBN(w("d1sum", 64), dtype=dt, name="upconv1")(dec1, train)
         dec1 = dec1 + edge_dec1
         dec1 = interleave_channels(dec1, center_crop(enc1, dec1.shape[1], dec1.shape[2]))
-        dec1 = ConvBlock(64, use_bn=True, dtype=dt, name="dec1")(dec1, train)
+        dec1 = ConvBlock(64, use_bn=True, features_mid=w("d1a", 64), dtype=dt, name="dec1")(dec1, train)
 
         seg, edge_1 = PredictionGuidedRefinement(dtype=dt, name="pred1")(dec1)
 

@@ -171,7 +171,265 @@ def slim_unet(widths: Dict[str, Any], out_channels: int = 1, dtype=None):
     )
 
 
-def evaluate_params(model, meta, params, batches, threshold: float = 0.5) -> Dict[str, float]:
+# ==============================================================================
+# EELUnet physical pruning
+# ==============================================================================
+#
+# The flagship model's channel graph has four couplings the vanilla-Unet spec
+# doesn't need (models/eelunet.py, reference EELUnet.py:228-471):
+#
+#   * edge/main ADD fusion: ``dec_i = upconv_i(x) + edge_dec_i`` pairs
+#     channels by index, so the two producers share ONE keep-set (fused
+#     groups d4sum/d3sum/d2sum/d1sum — ranked by combined L2).
+#   * interleave bridge: ``interleave(dec_sum, crop(enc))`` requires EQUAL
+#     keep counts on both sides; consumer cin indices map to the positional
+#     interleave of the two keep-sets (even = dec side, odd = enc side).
+#   * channel-shift quarters: every group feeding a ChannelAwarePatchedMLP
+#     passes through shifted_channel, which rolls four channel QUARTERS in
+#     different directions. Exactness requires each kept channel to stay in
+#     its original quarter -> such groups keep equal counts per quarter.
+#   * BatchNorm: a masked-out conv channel still emits (0-mu)/sigma*gamma+beta
+#     after BN, so exact masking zeroes the attached BN's gamma/beta too
+#     (eval-mode output becomes exactly 0); physical slicing removes the BN
+#     channel (params scale/bias + batch_stats mean/var).
+#
+# CAPMLP internals (token_dim chains, SE) are deliberately NOT pruned: they
+# are fixed-width 1x1/Dense chains; only the block-level output (TorchDense_1
+# + TorchConv_1, which share the ``features`` width) is sliced. The dec1
+# block output stays 64-wide: the final channels-last LayerNorm normalizes
+# over it, and removing exact-zero channels changes LN's mean/var.
+
+
+class _Group:
+    __slots__ = ("name", "rank", "producers", "bns", "consumers", "quarter")
+
+    def __init__(self, name, rank, producers, bns, consumers, quarter=False):
+        self.name, self.rank, self.producers = name, rank, producers
+        self.bns, self.consumers, self.quarter = bns, consumers, quarter
+
+
+def _cb(mod):  # plain ConvBlock paths
+    return (
+        (mod, "TorchConv_0", "Conv_0"),
+        (mod, "BatchNorm_0", "BatchNorm_0"),
+        (mod, "TorchConv_1", "Conv_0"),
+        (mod, "BatchNorm_1", "BatchNorm_0"),
+    )
+
+
+def _capmlp(mod):  # (first 1x1, Dense_1, final 1x1) inside a CAPMLP
+    base = (mod, "ChannelAwarePatchedMLP_0")
+    return (
+        base + ("TorchConv_0", "Conv_0"),
+        base + ("TorchDense_1", "Dense_0"),
+        base + ("TorchConv_1", "Conv_0"),
+    )
+
+
+def _ct(mod):
+    return (mod, "TorchConvTranspose_0", "ConvTranspose_0")
+
+
+def eelunet_groups() -> List[_Group]:
+    G = []
+    # --- encoder ---
+    for i, mod in ((1, "enc1"), (2, "enc2")):
+        c0, b0, c1, b1 = _cb(mod)
+        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(c1, "in")]))
+        G.append(_Group(f"e{i}", [c1], [c1], [b1], []))  # interleave-odd + next-enc below
+    for i, mod in ((3, "enc3"), (4, "enc4")):
+        c0 = (mod, "TorchConv_0", "Conv_0")
+        b0 = (mod, "BatchNorm_0", "BatchNorm_0")
+        first, d1, fin = _capmlp(mod)
+        b1 = (mod, "BatchNorm_1", "BatchNorm_0")
+        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(first, "in")], quarter=True))
+        G.append(_Group(f"e{i}", [fin], [d1, fin], [b1], [(fin, "in")]))
+    _g = {g.name: g for g in G}
+    _g["e1"].consumers.append((("enc2", "TorchConv_0", "Conv_0"), "in"))
+    _g["e2"].consumers.append((("enc3", "TorchConv_0", "Conv_0"), "in"))
+    _g["e3"].consumers.append((("enc4", "TorchConv_0", "Conv_0"), "in"))
+    _g["e4"].consumers.append((("bottleneck_conv", "Conv_0"), "in"))
+    _g["e4"].bns.append(("bottleneck_bn", "BatchNorm_0"))
+
+    # --- bottleneck (bottleneck_mlp IS the CAPMLP module, no nested level) ---
+    bfirst = ("bottleneck_mlp", "TorchConv_0", "Conv_0")
+    bd1 = ("bottleneck_mlp", "TorchDense_1", "Dense_0")
+    bfin = ("bottleneck_mlp", "TorchConv_1", "Conv_0")
+    G.append(_Group("bna", [("bottleneck_conv", "Conv_0")], [("bottleneck_conv", "Conv_0")], [],
+                    [(bfirst, "in")], quarter=True))
+    G.append(_Group("bot", [bfin], [bd1, bfin], [],
+                    [(bfin, "in"), (("pred5", "TorchConv_0", "Conv_0"), "in"),
+                     (_ct("edge_up4"), "in"), (_ct("upconv4"), "in")]))
+
+    # --- stages 4 and 3 (MLP blocks everywhere) ---
+    for i, nxt_edge_ct, pred in ((4, "edge_up3", "pred4"), (3, "edge_up2", "pred3")):
+        eu, ec, up, dec = f"edge_up{i}", f"edge_conv{i}", f"upconv{i}", f"dec{i}"
+        eufirst, eud1, eufin = _capmlp(eu)
+        ecfirst, ecd1, ecfin = _capmlp(ec)
+        upfirst, upd1, upfin = _capmlp(up)
+        dfirst, dd1, dfin = _capmlp(dec)
+        dec_c0 = (dec, "TorchConv_0", "Conv_0")
+        G.append(_Group(f"eu{i}ct", [_ct(eu)], [_ct(eu)], [], [(eufirst, "in")], quarter=True))
+        G.append(_Group(f"eu{i}", [eufin], [eud1, eufin], [(eu, "BatchNorm_0", "BatchNorm_0")],
+                        [(eufin, "in"), ((ec, "TorchConv_0", "Conv_0"), "in")]))
+        G.append(_Group(f"ec{i}a", [(ec, "TorchConv_0", "Conv_0")], [(ec, "TorchConv_0", "Conv_0")],
+                        [(ec, "BatchNorm_0", "BatchNorm_0")], [(ecfirst, "in")], quarter=True))
+        G.append(_Group(f"u{i}ct", [_ct(up)], [_ct(up)], [], [(upfirst, "in")], quarter=True))
+        # fused edge+main block outputs (the add at models/eelunet.py dec_i)
+        G.append(_Group(f"d{i}sum", [ecfin, upfin], [ecd1, ecfin, upd1, upfin],
+                        [(ec, "BatchNorm_1", "BatchNorm_0"), (up, "BatchNorm_0", "BatchNorm_0")],
+                        [(ecfin, "in"), (upfin, "in"), (_ct(nxt_edge_ct), "in")]))
+        G.append(_Group(f"d{i}a", [dec_c0], [dec_c0], [(dec, "BatchNorm_0", "BatchNorm_0")],
+                        [(dfirst, "in")], quarter=True))
+        nxt = _ct(f"upconv{i - 1}")
+        G.append(_Group(f"d{i}", [dfin], [dd1, dfin], [(dec, "BatchNorm_1", "BatchNorm_0")],
+                        [(dfin, "in"), ((pred, "TorchConv_0", "Conv_0"), "in"), (nxt, "in")]))
+
+    # --- stages 2 and 1 (plain conv blocks; high-pass is channel-transparent) ---
+    for i, nxt_edge_ct, pred in ((2, "edge_up1", "pred2"), (1, None, "pred1")):
+        eu, ec, up, dec = f"edge_up{i}", f"edge_conv{i}", f"upconv{i}", f"dec{i}"
+        ec0, ecb0, ec1, ecb1 = _cb(ec)
+        dc0, dcb0, dc1, dcb1 = _cb(dec)
+        G.append(_Group(f"eu{i}", [_ct(eu)], [_ct(eu)], [(eu, "BatchNorm_0", "BatchNorm_0")],
+                        [(ec0, "in")]))
+        G.append(_Group(f"ec{i}a", [ec0], [ec0], [ecb0], [(ec1, "in")]))
+        sum_cons = [] if nxt_edge_ct is None else [(_ct(nxt_edge_ct), "in")]
+        G.append(_Group(f"d{i}sum", [ec1, _ct(up)], [ec1, _ct(up)],
+                        [ecb1, (up, "BatchNorm_0", "BatchNorm_0")], sum_cons))
+        G.append(_Group(f"d{i}a", [dc0], [dc0], [dcb0], [(dc1, "in")]))
+        if i == 2:
+            G.append(_Group("d2", [dc1], [dc1], [dcb1],
+                            [(("pred3", "TorchConv_0", "Conv_0"), "in")]))
+    # d2 consumers fixed below; d1 (dec1 block output) is intentionally unpruned.
+    _g = {g.name: g for g in G}
+    _g["d2"].consumers = [((("pred2"), "TorchConv_0", "Conv_0"), "in"), (_ct("upconv1"), "in")]
+    return G
+
+
+# interleave(dec_sum, crop(enc)) -> dec_i conv3x3: cin = [even: d{i}sum, odd: e{i}]
+EELUNET_INTERLEAVES = [
+    (("dec4", "TorchConv_0", "Conv_0"), "d4sum", "e4"),
+    (("dec3", "TorchConv_0", "Conv_0"), "d3sum", "e3"),
+    (("dec2", "TorchConv_0", "Conv_0"), "d2sum", "e2"),
+    (("dec1", "TorchConv_0", "Conv_0"), "d1sum", "e1"),
+]
+
+
+def _group_keep(norms: np.ndarray, amount: float, round_to: int, quarter: bool) -> np.ndarray:
+    c = norms.shape[0]
+    k = c - int(round(amount * c))
+    if round_to > 1:
+        k = min(c, -(-k // round_to) * round_to)
+    if quarter:
+        k = min(c, -(-k // 4) * 4)  # equal keeps per shift quarter
+        q, kq = c // 4, k // 4
+        keep = []
+        for j in range(4):
+            order = np.argsort(norms[j * q : (j + 1) * q], kind="stable")
+            dropped = set(order[: q - kq].tolist())
+            keep.extend(j * q + i for i in range(q) if i not in dropped)
+        return np.asarray(keep, np.int64)
+    order = np.argsort(norms, kind="stable")
+    dropped = set(order[: c - k].tolist())
+    return np.asarray([i for i in range(c) if i not in dropped], np.int64)
+
+
+def eelunet_keep_sets(params, amount: float, round_to: int = 64) -> Dict[str, np.ndarray]:
+    """One keep-set per channel group, ranked by combined L2 over each
+    group's producer kernels (the masked-finetune and the physical slice both
+    consume this, so their channel sets match exactly)."""
+    from flax.core import unfreeze
+
+    p = unfreeze(params)
+    keeps = {}
+    for g in eelunet_groups():
+        sq = None
+        for path in g.rank:
+            kern = np.asarray(_get(p, path)["kernel"], np.float64)
+            s = (kern ** 2).sum(axis=tuple(range(kern.ndim - 1)))
+            sq = s if sq is None else sq + s
+        keeps[g.name] = _group_keep(np.sqrt(sq), amount, round_to, g.quarter)
+    for _, even_g, odd_g in EELUNET_INTERLEAVES:
+        assert len(keeps[even_g]) == len(keeps[odd_g]), (even_g, odd_g)
+    return keeps
+
+
+def eelunet_prune_masks(params, amount: float, round_to: int = 64):
+    """0/1 masks implementing the group keep-sets: producer kernels (cout) +
+    biases + attached BN gamma/beta zeroed, so every pruned channel's output
+    is exactly 0 through BN/ReLU/gating — the precondition for slicing."""
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    keeps = eelunet_keep_sets(params, amount, round_to)
+    masks = jax.tree_util.tree_map(lambda a: jnp.ones_like(a), params)
+    m = unfreeze(masks)
+    p = unfreeze(params)
+    for g in eelunet_groups():
+        keep = keeps[g.name]
+        size = _get(p, g.rank[0])["kernel"].shape[-1]
+        vec = np.zeros((size,), np.float32)
+        vec[keep] = 1.0
+        for path in g.producers:
+            leaf = _get(m, path)
+            leaf["kernel"] = leaf["kernel"] * jnp.asarray(vec, leaf["kernel"].dtype)
+            leaf["bias"] = leaf["bias"] * jnp.asarray(vec, leaf["bias"].dtype)
+        for path in g.bns:
+            leaf = _get(m, path)
+            leaf["scale"] = leaf["scale"] * jnp.asarray(vec, leaf["scale"].dtype)
+            leaf["bias"] = leaf["bias"] * jnp.asarray(vec, leaf["bias"].dtype)
+    return m, keeps
+
+
+def physical_prune_eelunet(params, batch_stats, amount: float, round_to: int = 64):
+    """Slice an EELUnet param tree (and its BN batch_stats) along the group
+    keep-sets. Returns (params, batch_stats, widths dict for EELUnet(widths=...))."""
+    from flax.core import unfreeze
+
+    keeps = eelunet_keep_sets(params, amount, round_to)
+    p = jax.tree_util.tree_map(np.asarray, unfreeze(params))
+    bs = jax.tree_util.tree_map(np.asarray, unfreeze(batch_stats))
+    for g in eelunet_groups():
+        idx = keeps[g.name]
+        for path in g.producers:
+            leaf = _get(p, path)
+            leaf["kernel"] = np.ascontiguousarray(leaf["kernel"][..., idx])
+            leaf["bias"] = np.ascontiguousarray(leaf["bias"][idx])
+        for path in g.bns:
+            leaf = _get(p, path)
+            leaf["scale"] = np.ascontiguousarray(leaf["scale"][idx])
+            leaf["bias"] = np.ascontiguousarray(leaf["bias"][idx])
+            sleaf = _get(bs, path)
+            sleaf["mean"] = np.ascontiguousarray(sleaf["mean"][idx])
+            sleaf["var"] = np.ascontiguousarray(sleaf["var"][idx])
+        for path, _kind in g.consumers:
+            leaf = _get(p, path)
+            leaf["kernel"] = np.ascontiguousarray(leaf["kernel"][..., idx, :])
+    for cons, even_g, odd_g in EELUNET_INTERLEAVES:
+        ka, kb = keeps[even_g], keeps[odd_g]
+        idx = np.empty(2 * len(ka), np.int64)
+        idx[0::2] = 2 * ka
+        idx[1::2] = 2 * kb + 1
+        leaf = _get(p, cons)
+        leaf["kernel"] = np.ascontiguousarray(leaf["kernel"][..., idx, :])
+    widths = {name: int(len(k)) for name, k in keeps.items()}
+    return p, bs, widths
+
+
+def slim_eelunet(widths: Dict[str, int], out_channels: int = 1, mask_range: int = 20, dtype=None):
+    from eelunet_tpu.models.eelunet import EELUnet
+
+    return EELUnet(
+        out_channels=out_channels,
+        mask_range=mask_range,
+        widths=tuple(sorted((str(k), int(v)) for k, v in widths.items())),
+        dtype=dtype,
+    )
+
+
+def evaluate_params(
+    model, meta, params, batches, threshold: float = 0.5, batch_stats=None
+) -> Dict[str, float]:
     """Full-metric evaluation of a bare (model, params) pair — same math as
     Trainer.evaluate (evaluate.py:62-124) without requiring a TrainState."""
     import jax.numpy as jnp
@@ -180,10 +438,13 @@ def evaluate_params(model, meta, params, batches, threshold: float = 0.5) -> Dic
     from eelunet_tpu.registry import seg_probabilities
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, batch_stats)
 
     @jax.jit
     def step(images, labels):
-        out = model.apply({"params": params}, images, train=False)
+        out = model.apply(variables, images, train=False)
         return M.update_metrics(seg_probabilities(out, meta), labels, threshold)
 
     acc = None
@@ -199,16 +460,19 @@ def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
-def save_slim(path: str, params, widths: Dict[str, Any]) -> str:
-    """Persist slim params (orbax) + widths sidecar (JSON)."""
+def save_slim(path: str, params, widths: Dict[str, Any], batch_stats=None, model_name: str = "unet") -> str:
+    """Persist slim params (+BN batch_stats) via orbax + widths sidecar JSON."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), jax.tree_util.tree_map(np.asarray, params), force=True)
+    tree = {"params": jax.tree_util.tree_map(np.asarray, params)}
+    if batch_stats:
+        tree["batch_stats"] = jax.tree_util.tree_map(np.asarray, batch_stats)
+    ckptr.save(os.path.join(path, "params"), tree, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "widths.json"), "w") as f:
-        json.dump(widths, f, indent=2)
+        json.dump({"model": model_name, "widths": widths}, f, indent=2)
     return path
 
 
@@ -219,14 +483,32 @@ def is_slim_checkpoint(path: str) -> bool:
 
 
 def load_slim(path: str, out_channels: int = 1, dtype=None):
-    """Load a slim checkpoint -> (model, params)."""
+    """Load a slim checkpoint -> (model, params, batch_stats)."""
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     with open(os.path.join(path, "widths.json")) as f:
-        widths = json.load(f)
-    model = slim_unet(widths, out_channels=out_channels, dtype=dtype)
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))["params"]
+        sidecar = json.load(f)
+    if "model" not in sidecar:  # legacy flat-widths unet format
+        sidecar = {"model": "unet", "widths": sidecar}
+    widths = sidecar["widths"]
+    if sidecar["model"] == "eelunet":
+        model = slim_eelunet(widths, out_channels=out_channels, dtype=dtype)
+    else:
+        model = slim_unet(widths, out_channels=out_channels, dtype=dtype)
+    # eval_shape: structure only, no forward execution (a real init would
+    # trigger a full TPU compile just to build the restore template).
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )
+    template = {"params": variables["params"]}
+    if "batch_stats" in variables:
+        template["batch_stats"] = variables["batch_stats"]
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(os.path.join(path, "params"), target=template)
-    return model, params
+    try:
+        tree = ckptr.restore(os.path.join(path, "params"), target=template)
+        return model, tree["params"], tree.get("batch_stats", {})
+    except Exception:
+        # legacy layout: bare params tree (no {"params": ...} nesting)
+        params = ckptr.restore(os.path.join(path, "params"), target=template["params"])
+        return model, params, {}

@@ -119,6 +119,101 @@ def test_slim_roundtrip(tmp_path, unet_setup):
     want = slim_unet(widths).apply({"params": slim_params}, x).seg
 
     save_slim(str(tmp_path / "slim"), slim_params, widths)
-    model2, params2 = load_slim(str(tmp_path / "slim"))
+    model2, params2, bstats2 = load_slim(str(tmp_path / "slim"))
+    assert bstats2 == {}
     got = model2.apply({"params": params2}, x).seg
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+# ------------------------------------------------------------------------------
+# EELUnet physical pruning (fused add-groups, interleave maps, shift quarters,
+# BN gamma/beta zeroing — see prune_physical.py EELUnet section)
+# ------------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eelunet_setup():
+    from eelunet_tpu.models.eelunet import EELUnet
+
+    model = EELUnet()
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x)
+    # Randomize params AND batch_stats: with init values (BN beta=0, mean=0)
+    # the BN leak this machinery guards against would be invisible.
+    rng = np.random.default_rng(11)
+
+    def jitter(a):
+        return a + jnp.asarray(rng.normal(size=a.shape) * 0.05, a.dtype)
+
+    params = jax.tree_util.tree_map(jitter, variables["params"])
+    bstats = jax.tree_util.tree_map(jitter, variables["batch_stats"])
+    bstats = jax.tree_util.tree_map(lambda a: jnp.abs(a) + 0.25, bstats)
+    return model, params, bstats, x
+
+
+def test_eelunet_sliced_matches_masked(eelunet_setup):
+    from eelunet_tpu.prune_physical import (
+        eelunet_prune_masks,
+        physical_prune_eelunet,
+        slim_eelunet,
+    )
+
+    model, params, bstats, x = eelunet_setup
+    amount, round_to = 0.3, 4
+    masks, keeps = eelunet_prune_masks(params, amount, round_to)
+    masked = apply_masks(params, masks)
+    want = model.apply({"params": masked, "batch_stats": bstats}, x, train=False).seg
+
+    slim_params, slim_bs, widths = physical_prune_eelunet(masked, bstats, amount, round_to)
+    slim = slim_eelunet(widths)
+    got = slim.apply({"params": slim_params, "batch_stats": slim_bs}, x, train=False).seg
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+    # the deep-supervision aux heads must match too
+    want_aux = model.apply({"params": masked, "batch_stats": bstats}, x, train=False).aux
+    got_aux = slim.apply({"params": slim_params, "batch_stats": slim_bs}, x, train=False).aux
+    for g, w_ in zip(got_aux, want_aux):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=3e-5, rtol=1e-4)
+
+
+def test_eelunet_quarter_preservation(eelunet_setup):
+    """Groups feeding shifted_channel keep equal counts per channel quarter,
+    so each kept channel stays in its original shift segment."""
+    from eelunet_tpu.prune_physical import eelunet_groups, eelunet_keep_sets
+
+    _, params, _, _ = eelunet_setup
+    keeps = eelunet_keep_sets(params, 0.3, round_to=4)
+    for g in eelunet_groups():
+        if not g.quarter:
+            continue
+        keep = keeps[g.name]
+        # derive original size from any producer kernel via the group name
+        c = {"e3a": 256, "e4a": 512, "bna": 1024, "eu4ct": 512, "eu3ct": 256,
+             "ec4a": 512, "ec3a": 256, "u4ct": 512, "u3ct": 256,
+             "d4a": 512, "d3a": 256}[g.name]
+        q = c // 4
+        per_quarter = [np.sum((keep >= j * q) & (keep < (j + 1) * q)) for j in range(4)]
+        assert len(set(per_quarter)) == 1, (g.name, per_quarter)
+
+
+def test_eelunet_param_shrink_and_roundtrip(tmp_path, eelunet_setup):
+    from eelunet_tpu.prune_physical import (
+        load_slim,
+        physical_prune_eelunet,
+        save_slim,
+        slim_eelunet,
+    )
+
+    model, params, bstats, x = eelunet_setup
+    slim_params, slim_bs, widths = physical_prune_eelunet(params, bstats, 0.5, round_to=4)
+    ratio = param_count(slim_params) / param_count(params)
+    assert 0.25 < ratio < 0.55  # CAPMLP token internals stay full-width
+    assert widths["d4sum"] == widths["e4"] and widths["d1sum"] == widths["e1"]
+
+    want = slim_eelunet(widths).apply(
+        {"params": slim_params, "batch_stats": slim_bs}, x, train=False
+    ).seg
+    save_slim(str(tmp_path / "eslim"), slim_params, widths, batch_stats=slim_bs, model_name="eelunet")
+    model2, params2, bstats2 = load_slim(str(tmp_path / "eslim"))
+    got = model2.apply({"params": params2, "batch_stats": bstats2}, x, train=False).seg
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
