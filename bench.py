@@ -107,6 +107,39 @@ def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dty
     return batch * iters / dt
 
 
+def _measure_slim_eelunet(image: int, batch: int, amount: float = 0.5, iters: int = 20) -> float:
+    """Physically pruned EELUnet forward (prune_physical.py; 1.33x at 512^2)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from eelunet_tpu.models.eelunet import EELUnet
+    from eelunet_tpu.prune_physical import physical_prune_eelunet, slim_eelunet
+
+    full = EELUnet(dtype=jnp.bfloat16)
+    variables = full.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    sp, sb, widths = physical_prune_eelunet(variables["params"], variables["batch_stats"], amount, 32)
+    model = slim_eelunet(widths, dtype=jnp.bfloat16)
+    sp = jax.tree_util.tree_map(jnp.asarray, sp)
+    sb = jax.tree_util.tree_map(jnp.asarray, sb)
+    x = jnp.zeros((batch, image, image, 3), jnp.float32)
+
+    @jax.jit
+    def run_n(images, n_arr):
+        def body(carry, i):
+            out = model.apply({"params": sp, "batch_stats": sb}, images + i * 1e-9, train=False)
+            return carry + jnp.sum(out.seg), None
+        s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), n_arr)
+        return s
+
+    n_arr = jnp.arange(iters, dtype=jnp.float32)
+    float(run_n(x, n_arr))
+    t0 = time.perf_counter()
+    float(run_n(x, n_arr))
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def _cpu_baseline() -> float:
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -158,6 +191,10 @@ def main():
             detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, BATCH)
         except Exception as e:
             detail["eelunet_256_train_bf16"] = f"error: {e}"
+        try:
+            detail["eelunet_slim50_512_bf16"] = _measure_slim_eelunet(IMAGE, BATCH)
+        except Exception as e:
+            detail["eelunet_slim50_512_bf16"] = f"error: {e}"
 
     try:
         import jax

@@ -122,7 +122,10 @@ def _expand_kernel(ur_ref, ui_ref, sr_ref, si_ref, x_ref, out_ref):
     out_ref[0] = jnp.sqrt(jnp.maximum(sq, _EPS)).astype(out_ref.dtype)
 
 
-def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool) -> jnp.ndarray:
+def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
+    """Returns (out, (s_r, s_i)): the result plus the skinny complex row
+    spectrum S (B, K, W*C) such that lowpass(x) = U_H @ S — saved as the
+    VJP residual so the backward never recomputes the x contraction."""
     b, h, w, c = x.shape
     m = min(mask_range, h // 2, w // 2)  # joint clamp (EELUnet.py:155-157)
     k = max(_round_up(2 * m, 16), 16)
@@ -195,7 +198,72 @@ def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool) -> jnp.ndarr
         out_shape=jax.ShapeDtypeStruct((b, h, wc), x.dtype),
         interpret=interpret,
     )(jnp.asarray(uhr, jnp.float32), jnp.asarray(uhi, jnp.float32), s_r, s_i, xm)
-    return out.reshape(b, h, w, c)
+    return out.reshape(b, h, w, c), (s_r, s_i)
+
+
+def _highpass_bwd_impl(x: jnp.ndarray, s_r, s_i, g: jnp.ndarray, mask_range: int):
+    """Analytic VJP. With z = x - U_H S (complex) and out = |z| (clamped):
+
+        u   = g * z / |z|              (zero where |z|^2 <= eps, the clamp)
+        dx  = Re(u) - Re( A_H^T conj(u) A_W )
+
+    and A_H^T conj(u) A_W factors through the same skinny K-dim chain as the
+    forward: contract H by U_H^T, contract/expand W by U_W/V_W on the K-row
+    core, expand H by V_H^T. One full-res matmul pass to rebuild lr/li from
+    the saved S, one to contract u, one to write dx — no forward recompute.
+    """
+    b, h, w, c = x.shape
+    m = min(mask_range, h // 2, w // 2)
+    k = max(_round_up(2 * m, 16), 16)
+    wc = w * c
+    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
+    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    cdt = x.dtype
+
+    def ein(eq, a, t):
+        return jnp.einsum(
+            eq, jnp.asarray(a, cdt), t.astype(cdt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    # rebuild the low-pass rows from the saved spectrum: lr + i li = U_H S
+    lr = ein("hk,bkm->bhm", uhr, s_r) - ein("hk,bkm->bhm", uhi, s_i)
+    li = ein("hk,bkm->bhm", uhr, s_i) + ein("hk,bkm->bhm", uhi, s_r)
+
+    xm = x.reshape(b, h, wc).astype(jnp.float32)
+    gm = g.reshape(b, h, wc).astype(jnp.float32)
+    zr = xm - lr
+    zi = -li
+    sq = zr * zr + zi * zi
+    r = jnp.sqrt(jnp.maximum(sq, _EPS))
+    coef = jnp.where(sq >= _EPS, gm / r, 0.0)
+    ur = coef * zr
+    ui = coef * zi
+
+    # T = U_H^T conj(u)  (K, WC per batch)
+    t_r = ein("hk,bhm->bkm", uhr, ur) + ein("hk,bhm->bkm", uhi, ui)
+    t_i = ein("hk,bhm->bkm", uhi, ur) - ein("hk,bhm->bkm", uhr, ui)
+
+    # middle: core = T U_W (contract W), rows = core V_W (expand W)
+    t_r4 = t_r.reshape(b, k, w, c)
+    t_i4 = t_i.reshape(b, k, w, c)
+    prec_hi = jax.lax.Precision.HIGHEST
+
+    def einw(eq, a, t):
+        return jnp.einsum(eq, jnp.asarray(a), t, precision=prec_hi)
+
+    core_r = einw("wl,bkwc->bklc", uwr, t_r4) - einw("wl,bkwc->bklc", uwi, t_i4)
+    core_i = einw("wl,bkwc->bklc", uwr, t_i4) + einw("wl,bkwc->bklc", uwi, t_r4)
+    row_r = einw("lw,bklc->bkwc", vwr, core_r) - einw("lw,bklc->bkwc", vwi, core_i)
+    row_i = einw("lw,bklc->bkwc", vwr, core_i) + einw("lw,bklc->bkwc", vwi, core_r)
+    row_r = row_r.reshape(b, k, wc)
+    row_i = row_i.reshape(b, k, wc)
+
+    # dx = Re(u) - Re(V_H^T rows)
+    adj_re = ein("kh,bkm->bhm", vhr, row_r) - ein("kh,bkm->bhm", vhi, row_i)
+    dx = ur - adj_re
+    return dx.reshape(b, h, w, c).astype(g.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -203,19 +271,21 @@ def high_pass_fft_pallas(x: jnp.ndarray, mask_range: int = 20, interpret: bool =
     """abs(x - lowpass(x)) for NHWC input — fused Pallas TPU path.
 
     Numerically matches ``high_pass_fft_lowrank`` run at the same dtype
-    (identical matmul structure; f32 accumulation). Backward pass is the
-    transpose of the XLA low-rank path.
+    (identical matmul structure; f32 accumulation). Backward is analytic
+    (adjoint of the low-rank operator on the saved skinny spectrum) —
+    tested against jax.grad of the XLA path.
     """
-    return _highpass_fwd(x, mask_range, interpret)
+    return _highpass_fwd(x, mask_range, interpret)[0]
 
 
 def _vjp_fwd(x, mask_range, interpret):
-    return _highpass_fwd(x, mask_range, interpret), x
+    out, (s_r, s_i) = _highpass_fwd(x, mask_range, interpret)
+    return out, (x, s_r, s_i)
 
 
-def _vjp_bwd(mask_range, interpret, x, g):
-    _, vjp = jax.vjp(lambda v: high_pass_fft_lowrank(v, mask_range), x)
-    return vjp(g)
+def _vjp_bwd(mask_range, interpret, res, g):
+    x, s_r, s_i = res
+    return (_highpass_bwd_impl(x, s_r, s_i, g, mask_range),)
 
 
 high_pass_fft_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -56,17 +56,40 @@ def test_pallas_bf16_close_to_f32():
     assert (err / scale).max() < 0.05
 
 
-def test_pallas_grad_matches_lowrank_grad():
-    x = _rand((1, 32, 32, 8), seed=7)
+@pytest.mark.parametrize(
+    "shape,mask_range",
+    [
+        ((1, 32, 32, 8), 8),
+        ((2, 16, 32, 8), 4),    # non-square
+        ((1, 32, 32, 4), 20),   # joint clamp: 2m == H
+    ],
+)
+def test_pallas_grad_matches_lowrank_grad(shape, mask_range):
+    """The analytic VJP (adjoint low-rank chain on the saved spectrum) must
+    match jax.grad of the XLA low-rank path."""
+    if not pallas_supported(shape):
+        pytest.skip("shape not tiled by the Pallas path")
+    x = _rand(shape, seed=7)
 
     def f_pallas(v):
-        return jnp.sum(high_pass_fft_pallas(v, 8, True) ** 2)
+        return jnp.sum(high_pass_fft_pallas(v, mask_range, True) ** 2)
 
     def f_lowrank(v):
-        return jnp.sum(high_pass_fft_lowrank(v, 8) ** 2)
+        return jnp.sum(high_pass_fft_lowrank(v, mask_range) ** 2)
 
     gp = np.asarray(jax.grad(f_pallas)(x))
     gl = np.asarray(jax.grad(f_lowrank)(x))
+    np.testing.assert_allclose(gp, gl, atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_grad_weighted_cotangent():
+    """Non-uniform cotangents exercise the u = g z/|z| path (a sum-of-squares
+    loss alone can hide transposition mistakes)."""
+    x = _rand((1, 32, 32, 8), seed=9)
+    wgt = _rand((1, 32, 32, 8), seed=10)
+
+    gp = np.asarray(jax.grad(lambda v: jnp.sum(wgt * high_pass_fft_pallas(v, 8, True)))(x))
+    gl = np.asarray(jax.grad(lambda v: jnp.sum(wgt * high_pass_fft_lowrank(v, 8)))(x))
     np.testing.assert_allclose(gp, gl, atol=1e-4, rtol=1e-3)
 
 
