@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--lambda_edge", type=float, default=None)
     p.add_argument("--resume", type=str, default=None, help="checkpoint path for full-state resume")
+    p.add_argument(
+        "--summary",
+        action="store_true",
+        help="print a per-layer shape/param table at startup (the reference "
+        "always runs torchsummary.summary, train.py:291; gated here because "
+        "tabulate-tracing big models costs seconds)",
+    )
     args = p.parse_args(argv)
 
     ov = []
@@ -52,6 +59,11 @@ def main(argv=None):
     print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
 
     trainer = Trainer(cfg, mesh=mesh)
+    if args.summary:
+        from eelunet_tpu.utils.summary import model_summary
+
+        h, w = cfg.data.image_size
+        print(model_summary(trainer.model, (1, h, w, cfg.model.in_channels)))
     train_loader, val_loader, test_loader = build_loaders(cfg)
     print(f"Criterion: {trainer.loss_name}")
     trainer.fit(train_loader, val_loader, test_loader)

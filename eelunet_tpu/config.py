@@ -53,6 +53,12 @@ class ModelConfig:
     # High-pass implementation: "auto" (Pallas on TPU bf16, XLA otherwise),
     # "pallas", or "lowrank" (pin XLA — required for activation-sharded runs).
     highpass_impl: str = "auto"
+    # Path to a slim checkpoint (cli.prune --physical output): builds the
+    # physically pruned module from its widths.json and initializes training
+    # from its weights — finetuning the slim model directly runs the same
+    # trajectory as masked finetuning (slice is bit-exact) at slim-model
+    # speed. unet/eelunet only.
+    slim_init: str = ""
     # Compute dtype for the forward pass ("float32" or "bfloat16"); params stay f32.
     dtype: str = "float32"
 

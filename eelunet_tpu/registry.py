@@ -76,6 +76,31 @@ def create_model(model_cfg) -> Tuple[Any, ModelMeta]:
     cls = _build(name)
     dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
 
+    slim_init = getattr(model_cfg, "slim_init", "")
+    if slim_init:
+        import json
+        import os
+
+        if name not in ("unet", "eelunet"):
+            raise ValueError(f"slim_init supports unet/eelunet, not {name!r}")
+        with open(os.path.join(slim_init, "widths.json")) as f:
+            sidecar = json.load(f)
+        widths = sidecar.get("widths", sidecar)
+        if name == "eelunet":
+            from eelunet_tpu.prune_physical import slim_eelunet
+
+            model = slim_eelunet(
+                widths,
+                out_channels=model_cfg.out_channels,
+                mask_range=model_cfg.fft_mask_range,
+                dtype=dtype,
+            )
+        else:
+            from eelunet_tpu.prune_physical import slim_unet
+
+            model = slim_unet(widths, out_channels=model_cfg.out_channels, dtype=dtype)
+        return model, meta
+
     if name in ("unet", "unet++"):
         model = cls(out_channels=model_cfg.out_channels, dtype=dtype)
     elif name == "eelunet":

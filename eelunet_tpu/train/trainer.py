@@ -133,6 +133,21 @@ class Trainer:
         h, w = cfg.data.image_size
         sample = jnp.zeros((1, h, w, cfg.model.in_channels), jnp.float32)
         state = create_train_state(self.model, cfg.optimizer, rng, sample, steps_per_epoch)
+        if getattr(cfg.model, "slim_init", ""):
+            # Physically pruned weights (cli.prune --physical output): the
+            # module is already the slim one (registry), so the structures
+            # match; optimizer moments start fresh, like the reference's
+            # weights-only finetune (prune.py:276-278).
+            from eelunet_tpu.prune_physical import load_slim
+
+            _, params, bstats = load_slim(
+                cfg.model.slim_init, cfg.model.out_channels,
+                dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None,
+            )
+            state = state.replace(
+                params=jax.tree_util.tree_map(jnp.asarray, params),
+                batch_stats=jax.tree_util.tree_map(jnp.asarray, bstats),
+            )
         # Lay out state across the mesh (replicated / TP-sharded params).
         shardings = self._state_shardings(state)
         state = jax.device_put(state, shardings)

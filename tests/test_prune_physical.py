@@ -125,6 +125,48 @@ def test_slim_roundtrip(tmp_path, unet_setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+def test_slim_finetune_via_trainer(tmp_path, unet_setup):
+    """model.slim_init: the Trainer builds the slim module and resumes its
+    weights — finetuning runs at slim-model speed (same trajectory as masked
+    finetune, since the slice is exact)."""
+    from eelunet_tpu.config import TrainConfig, apply_overrides
+    from eelunet_tpu.data.pipeline import DataLoader
+    from eelunet_tpu.data.synthetic import SyntheticDataset
+    from eelunet_tpu.parallel.mesh import create_mesh
+    from eelunet_tpu.train.trainer import Trainer
+
+    _, params, _ = unet_setup
+    masks, _ = compute_prune_masks(params, 0.5, zero_bias=True)
+    slim_params, widths = physical_prune_unet(apply_masks(params, masks), 0.5)
+    path = save_slim(str(tmp_path / "slim"), slim_params, widths)
+
+    cfg = apply_overrides(
+        TrainConfig(),
+        [
+            "model.name=unet",
+            f"model.slim_init={path}",
+            "data.image_size=[32,32]",
+            "data.batch_size=4",
+            "epochs=1",
+            "seed=0",
+            f"save_dir={tmp_path}/ckpt",
+            f"log_dir={tmp_path}/runs",
+            "snapshot_every=100",
+        ],
+    )
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.init_state()
+    # weights actually came from the slim checkpoint
+    got = state.params["ConvBlock_0"]["TorchConv_0"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got), slim_params["ConvBlock_0"]["TorchConv_0"]["Conv_0"]["kernel"], atol=1e-7
+    )
+    ds = SyntheticDataset(n=8, image_size=(32, 32), seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    state, loss = trainer.train_one_epoch(state, loader)
+    assert np.isfinite(loss)
+
+
 # ------------------------------------------------------------------------------
 # EELUnet physical pruning (fused add-groups, interleave maps, shift quarters,
 # BN gamma/beta zeroing — see prune_physical.py EELUnet section)
