@@ -64,6 +64,17 @@ class CheckpointManager:
         p = os.path.join(self.root, f"{self.model_name}_best")
         return p if os.path.exists(p) else None
 
+    def latest_path(self) -> Optional[str]:
+        """Most recently written checkpoint under this model's root — the
+        target of ``--resume auto`` (restart-after-preemption recovery; the
+        reference's resume was a commented block, train.py:293-297)."""
+        candidates = [
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith(f"{self.model_name}_") and os.path.isdir(os.path.join(self.root, d))
+        ]
+        return max(candidates, key=os.path.getmtime) if candidates else None
+
 
 class BestTracker:
     """Best-per-metric tracking with the reference's save policy."""

@@ -251,8 +251,14 @@ class Trainer:
         if state is None:
             state = self.init_state(steps_per_epoch=max(len(train_loader), 1))
         if cfg.resume_from:
-            state = self.ckpt.restore(cfg.resume_from, state)
-            log(f"Resumed full train state from {cfg.resume_from} at step {int(state.step)}")
+            target = cfg.resume_from
+            if target == "auto":
+                target = self.ckpt.latest_path()
+            if target:
+                state = self.ckpt.restore(target, state)
+                log(f"Resumed full train state from {target} at step {int(state.step)}")
+            else:
+                log("resume_from=auto: no checkpoint found, starting fresh")
 
         from eelunet_tpu.train.logging import MetricLogger
 

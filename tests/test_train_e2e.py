@@ -84,6 +84,31 @@ def test_checkpoint_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_resume_auto(tmp_path):
+    """resume_from=auto picks the most recent checkpoint (or starts fresh
+    when none exists) — restart-after-preemption recovery."""
+    from eelunet_tpu.config import apply_overrides
+
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    tr, va, te = _loaders()
+
+    # no checkpoints yet: must start fresh, not crash
+    cfg_auto = apply_overrides(cfg, ["resume_from=auto"])
+    trainer = Trainer(cfg_auto, mesh=create_mesh(1, 1))
+    msgs = []
+    state, _ = trainer.fit(tr, va, te, log=msgs.append)
+    assert any("starting fresh" in m for m in msgs)
+    step0 = int(state.step)
+    assert trainer.ckpt.latest_path() is not None
+
+    # second run resumes from the newest checkpoint of the first
+    trainer2 = Trainer(cfg_auto, mesh=create_mesh(1, 1))
+    msgs2 = []
+    state2, _ = trainer2.fit(tr, va, te, log=msgs2.append)
+    assert any("Resumed full train state" in m for m in msgs2)
+    assert int(state2.step) > step0
+
+
 def test_seed_reproducibility(tmp_path):
     cfg = _tiny_cfg(tmp_path, epochs=1)
     losses = []
