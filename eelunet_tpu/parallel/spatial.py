@@ -59,6 +59,13 @@ def sharded_stencil(
     ``fn`` must be shift-invariant with receptive-field radius <= ``halo``
     and preserve H (e.g. blur/sobel/NMS chains). Each shard computes on its
     halo-extended slab and crops the halo back off.
+
+    Border note: within ``halo`` rows of the TRUE image top/bottom, a
+    multi-stage ``fn`` that re-masks at each stage (the Canny chain) sees
+    zero-VALUED halo rows instead of per-stage zero-PADDING — intermediate
+    stages may differ there from the unsharded op. Interior rows (>= halo
+    from the image edge) are exact; content at the image border of a
+    segmentation mask is rare by construction.
     """
 
     def local(x):
@@ -71,23 +78,46 @@ def sharded_stencil(
         mesh=mesh,
         in_specs=P(None, axis_name, None, None),
         out_specs=P(None, axis_name, None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata; the
+        # specs above already pin the only sharded axis.
+        check_vma=False,
     )
 
 
-def sharded_canny(mesh: Mesh, axis_name: str = "data", low: float = 0.2, high: float = 0.8):
+def sharded_canny(
+    mesh: Mesh,
+    axis_name: str = "data",
+    low: float = 0.2,
+    high: float = 0.8,
+    use_pallas: bool = False,
+):
     """H-sharded Canny (blur+sobel+NMS radius: 2+1+1 = 4 rows of halo).
 
     The double-threshold stage is pointwise; hysteresis is intentionally not
     run under shard_map (its fixpoint is global) — use the fixed-iteration
     variant on the gathered result if needed.
+
+    ``use_pallas=True`` runs the fused Pallas kernel (ops/edge_pallas.py,
+    9-24x over the XLA chain) inside each shard: the halo exchange provides
+    the cross-shard rows via ``ppermute``, then the kernel's own zero-fill
+    shifts see a locally-complete slab. Kernels compose with shard_map — each
+    device runs its own pallas_call on its local block.
     """
     from eelunet_tpu.ops.edge import gaussian_blur, non_max_suppression, _grad_mag_angle
 
-    def stencil(x):
-        b = gaussian_blur(x)
-        mag, ang = _grad_mag_angle(b, reflect_pad=False, angle_eps=0.0)
-        nms = non_max_suppression(mag, ang)
-        return (nms >= low).astype(x.dtype)
+    if use_pallas:
+        from eelunet_tpu.ops.edge_pallas import fused_canny_auto
+
+        def stencil(x):
+            return fused_canny_auto(x, low_threshold=low, high_threshold=high)
+
+    else:
+
+        def stencil(x):
+            b = gaussian_blur(x)
+            mag, ang = _grad_mag_angle(b, reflect_pad=False, angle_eps=0.0)
+            nms = non_max_suppression(mag, ang)
+            return (nms >= low).astype(x.dtype)
 
     return sharded_stencil(stencil, mesh, halo=4, axis_name=axis_name)
 

@@ -60,6 +60,20 @@ def test_sharded_canny_matches_unsharded():
     np.testing.assert_allclose(got, want)
 
 
+def test_sharded_canny_pallas_matches_unsharded():
+    """The fused Pallas kernel composes with shard_map: each device runs its
+    own pallas_call on its halo-extended slab (ppermute provides the rows)."""
+    from eelunet_tpu.ops.edge_pallas import fused_canny_auto
+
+    mesh = _mesh(8)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - 32) ** 2 + (xx - 32) ** 2) < 20**2).astype(np.float32)[None, :, :, None]
+    got = np.asarray(sharded_canny(mesh, use_pallas=True)(jnp.array(mask)))
+    want = np.asarray(fused_canny_auto(jnp.array(mask)))
+    np.testing.assert_allclose(got, want)
+
+
 def test_spatial_forward_matches_unsharded(rng):
     """Full-model H-sharded forward via XLA SPMD auto-partitioning (unet;
     malunet/eelunet verified identically but are too compile-heavy for CI)."""
