@@ -20,6 +20,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--save_dir", type=str, default=None,
+                   help="checkpoint root (train.py:229); used by every CLI "
+                   "that saves or resolves tagged checkpoints")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="dotted config override, e.g. --set optimizer.lr=3e-4")
     return p
@@ -42,6 +45,8 @@ def load_config(args) -> TrainConfig:
         ov.append(f"data.image_size=[{args.image_size},{args.image_size}]")
     if args.seed is not None:
         ov.append(f"seed={args.seed}")
+    if getattr(args, "save_dir", None) is not None:
+        ov.append(f"save_dir={args.save_dir}")
     return apply_overrides(cfg, ov)
 
 

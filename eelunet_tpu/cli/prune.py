@@ -26,7 +26,14 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--prune_amount", type=float, default=0.3)
     p.add_argument("--finetune_epochs", type=int, default=5)
-    p.add_argument("--out", type=str, default="")
+    p.add_argument(
+        "--out",
+        type=str,
+        default="",
+        help="checkpoint destination: a tag saved under save_dir/<model>/ "
+        "(default pruned_<pct>), or a path (anything containing a path "
+        "separator / absolute path) saved verbatim",
+    )
     p.add_argument(
         "--physical",
         action="store_true",
@@ -88,8 +95,11 @@ def main(argv=None):
     for k in ("iou", "dice", "miou", "mdice", "boundary_f1"):
         print(f"{k:14s}  {m0[k]:8.4f} {m1[k]:8.4f}  {m2[k]:8.4f}")
 
-    tag = args.out or f"pruned_{int(args.prune_amount * 100)}"
-    path = trainer.ckpt.save(tag, state)
+    if args.out and (os.path.isabs(args.out) or os.sep in args.out):
+        path = trainer.ckpt.save_to(os.path.abspath(args.out), state)
+    else:
+        tag = args.out or f"pruned_{int(args.prune_amount * 100)}"
+        path = trainer.ckpt.save(tag, state)
     print(f"Saved pruned+finetuned checkpoint to {path}")
 
     if args.physical:

@@ -18,7 +18,6 @@ def main(argv=None):
     p = base_parser("Train segmentation model with edge supervision (TPU-native)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--lambda_edge", type=float, default=None)
     p.add_argument("--resume", type=str, default=None, help="checkpoint path for full-state resume")
@@ -36,8 +35,6 @@ def main(argv=None):
         ov.append(f"epochs={args.epochs}")
     if args.lr is not None:
         ov.append(f"optimizer.lr={args.lr}")
-    if args.save_dir is not None:
-        ov.append(f"save_dir={args.save_dir}")
     if args.log_dir is not None:
         ov.append(f"log_dir={args.log_dir}")
     if args.lambda_edge is not None:

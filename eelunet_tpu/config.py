@@ -121,6 +121,10 @@ class TrainConfig:
     threshold: float = 0.5            # binarization threshold (evaluate.py:92)
     remat: bool = False               # jax.checkpoint the forward in train_step
                                       # (trade FLOPs for HBM at large batch/res)
+    accum_steps: int = 1              # gradient accumulation: micro-batches per
+                                      # optimizer step (peak activation HBM scales
+                                      # with batch_size/accum_steps; batch_size
+                                      # must be divisible by it)
     donate_buffers: bool = True
     log_every_steps: int = 50
     resume_from: str = ""             # checkpoint dir to resume full train state from

@@ -4,8 +4,9 @@
 tokenized-MLP conv blocks; an auxiliary edge decoder runs from the bottleneck
 in parallel with the main decoder and is *added* into each main decoder stage;
 five PredictionGuidedRefinement heads emit sigmoid maps at 1/16..1/1 scales for
-deep supervision; skips use channel interleaving instead of concat; final
-LayerNorm + 1x1 conv + sigmoid. 26.26M params.
+deep supervision; skips fuse decoder and encoder features channel-wise
+(FeatureInterleaveBridge, EELUnet.py:127-141 — see the layout note below);
+final LayerNorm + 1x1 conv + sigmoid. 26.26M params.
 
 TPU-native design notes:
 - NHWC; the per-pixel token MLP (ChannelAwarePatchedMLP) is a Dense over the
@@ -17,6 +18,15 @@ TPU-native design notes:
 - The debug ``visualize_feature_maps`` PNG dumps living inside the reference
   forward (EELUnet.py:389-462) become an optional ``capture_intermediates``
   flag via flax's standard mechanism — no side effects in the hot loop.
+- Bridge channel layout: the reference interleaves decoder/encoder channels
+  [d0,e0,d1,e1,...] (FeatureInterleaveBridge); here they are concatenated
+  [d... | e...]. The two are the SAME function class — a fixed permutation of
+  the consumer conv's input-channel indexing maps one to the other exactly,
+  and conv kernel init is iid over cin, so the init distribution is unchanged.
+  TPU-measured: the interleaved order costs +25 ms/step at 512^2 training
+  (+9.4%) because its backward de-interleave is a lane-crossing relayout,
+  while concat's backward is two contiguous channel slices (docs/PERF.md).
+  ``nn.layers.interleave_channels`` remains for the op-level parity tests.
 """
 
 from __future__ import annotations
@@ -36,9 +46,7 @@ from eelunet_tpu.nn.layers import (
     TorchDense,
     avg_pool_global,
     center_crop,
-    interleave_channels,
     max_pool2d,
-    interleave_channels as _interleave,
 )
 from eelunet_tpu.registry import ModelOutput
 
@@ -276,25 +284,25 @@ class EELUnet(nn.Module):
         # Main decoder (421-460): upconv -> +edge -> interleave skip -> block
         dec4 = MlpUpConvBlock(w("d4sum", 512), features_mid=w("u4ct", 512), dtype=dt, name="upconv4")(bottleneck, train)
         dec4 = dec4 + edge_dec4
-        dec4 = interleave_channels(dec4, center_crop(enc4, dec4.shape[1], dec4.shape[2]))
+        dec4 = jnp.concatenate([dec4, center_crop(enc4, dec4.shape[1], dec4.shape[2])], axis=-1)
         dec4 = MlpConvBlock(w("d4", 512), features_mid=w("d4a", 512), dtype=dt, name="dec4")(dec4, train)
 
         dec3, edge_4 = PredictionGuidedRefinement(dtype=dt, name="pred4")(dec4)
         dec3 = MlpUpConvBlock(w("d3sum", 256), features_mid=w("u3ct", 256), dtype=dt, name="upconv3")(dec3, train)
         dec3 = dec3 + edge_dec3
-        dec3 = interleave_channels(dec3, center_crop(enc3, dec3.shape[1], dec3.shape[2]))
+        dec3 = jnp.concatenate([dec3, center_crop(enc3, dec3.shape[1], dec3.shape[2])], axis=-1)
         dec3 = MlpConvBlock(w("d3", 256), features_mid=w("d3a", 256), dtype=dt, name="dec3")(dec3, train)
 
         dec2, edge_3 = PredictionGuidedRefinement(dtype=dt, name="pred3")(dec3)
         dec2 = UpConvBN(w("d2sum", 128), dtype=dt, name="upconv2")(dec2, train)
         dec2 = dec2 + edge_dec2
-        dec2 = interleave_channels(dec2, center_crop(enc2, dec2.shape[1], dec2.shape[2]))
+        dec2 = jnp.concatenate([dec2, center_crop(enc2, dec2.shape[1], dec2.shape[2])], axis=-1)
         dec2 = ConvBlock(w("d2", 128), use_bn=True, features_mid=w("d2a", 128), dtype=dt, name="dec2")(dec2, train)
 
         dec1, edge_2 = PredictionGuidedRefinement(dtype=dt, name="pred2")(dec2)
         dec1 = UpConvBN(w("d1sum", 64), dtype=dt, name="upconv1")(dec1, train)
         dec1 = dec1 + edge_dec1
-        dec1 = interleave_channels(dec1, center_crop(enc1, dec1.shape[1], dec1.shape[2]))
+        dec1 = jnp.concatenate([dec1, center_crop(enc1, dec1.shape[1], dec1.shape[2])], axis=-1)
         dec1 = ConvBlock(64, use_bn=True, features_mid=w("d1a", 64), dtype=dt, name="dec1")(dec1, train)
 
         seg, edge_1 = PredictionGuidedRefinement(dtype=dt, name="pred1")(dec1)

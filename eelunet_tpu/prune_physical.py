@@ -1,8 +1,8 @@
-"""Physical structured channel removal for the vanilla U-Net.
+"""Physical structured channel removal (unet + eelunet graphs).
 
 The mask path (prune.py) reproduces torch ``ln_structured`` semantics —
 zeroed weights stay in the tensors, so compute doesn't shrink. This module
-actually REMOVES the pruned channels, producing a slimmer Unet whose params
+actually REMOVES the pruned channels, producing a slimmer model whose params
 and FLOPs drop ~(1-amount)^2 on the conv stack.
 
 Cross-layer dependency tracking: removing conv L's output channels slices the
@@ -20,9 +20,13 @@ Use ``compute_prune_masks(..., zero_bias=True)`` for the masking/finetune
 preceding a physical slice; slicing then removes exactly-zero channels and
 the slim model reproduces the masked model bit-for-bit (tested).
 
-Other model families keep the mask path: EELUnet's interleave bridges pair
-channels positionally across branches and its token-MLPs fix token_dim, so
-physical removal there changes the function class, not just the wiring.
+EELUnet's channel-group graph (below) additionally tracks edge/main ADD
+fusion, the concat bridge, channel-shift quarters and BN stats. The remaining
+families keep the mask path: their norm layers compute statistics over the
+channel axis (UNeXt/EGE-UNet LayerNorm, MALUNet GroupNorm), so a masked-zero
+channel still shifts every surviving channel's normalization — slicing there
+changes the function, not just the wiring — and at 0.04M-1.5M params they are
+bandwidth-bound, not FLOP-bound, so removal buys no TPU time anyway.
 (The reference's prune.py targeted a single model and crashed, SURVEY §2.1.)
 """
 
@@ -181,9 +185,12 @@ def slim_unet(widths: Dict[str, Any], out_channels: int = 1, dtype=None):
 #   * edge/main ADD fusion: ``dec_i = upconv_i(x) + edge_dec_i`` pairs
 #     channels by index, so the two producers share ONE keep-set (fused
 #     groups d4sum/d3sum/d2sum/d1sum — ranked by combined L2).
-#   * interleave bridge: ``interleave(dec_sum, crop(enc))`` requires EQUAL
-#     keep counts on both sides; consumer cin indices map to the positional
-#     interleave of the two keep-sets (even = dec side, odd = enc side).
+#   * bridge: ``concat(dec_sum, crop(enc))`` feeds each dec_i conv; the two
+#     groups keep independent sets and the consumer cin gathers
+#     [keep(d_isum) | keep(e_i) + C] with original-space offsets, exactly
+#     like the unet concat consumers. (The model's bridge is concat-ordered;
+#     the reference's interleave order is the same function class under a
+#     fixed cin permutation — models/eelunet.py layout note.)
 #   * channel-shift quarters: every group feeding a ChannelAwarePatchedMLP
 #     passes through shifted_channel, which rolls four channel QUARTERS in
 #     different directions. Exactness requires each kept channel to stay in
@@ -235,20 +242,20 @@ def eelunet_groups() -> List[_Group]:
     # --- encoder ---
     for i, mod in ((1, "enc1"), (2, "enc2")):
         c0, b0, c1, b1 = _cb(mod)
-        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(c1, "in")]))
-        G.append(_Group(f"e{i}", [c1], [c1], [b1], []))  # interleave-odd + next-enc below
+        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(c1, 0)]))
+        G.append(_Group(f"e{i}", [c1], [c1], [b1], []))  # concat tail + next-enc below
     for i, mod in ((3, "enc3"), (4, "enc4")):
         c0 = (mod, "TorchConv_0", "Conv_0")
         b0 = (mod, "BatchNorm_0", "BatchNorm_0")
         first, d1, fin = _capmlp(mod)
         b1 = (mod, "BatchNorm_1", "BatchNorm_0")
-        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(first, "in")], quarter=True))
-        G.append(_Group(f"e{i}", [fin], [d1, fin], [b1], [(fin, "in")]))
+        G.append(_Group(f"e{i}a", [c0], [c0], [b0], [(first, 0)], quarter=True))
+        G.append(_Group(f"e{i}", [fin], [d1, fin], [b1], [(fin, 0)]))
     _g = {g.name: g for g in G}
-    _g["e1"].consumers.append((("enc2", "TorchConv_0", "Conv_0"), "in"))
-    _g["e2"].consumers.append((("enc3", "TorchConv_0", "Conv_0"), "in"))
-    _g["e3"].consumers.append((("enc4", "TorchConv_0", "Conv_0"), "in"))
-    _g["e4"].consumers.append((("bottleneck_conv", "Conv_0"), "in"))
+    _g["e1"].consumers.append((("enc2", "TorchConv_0", "Conv_0"), 0))
+    _g["e2"].consumers.append((("enc3", "TorchConv_0", "Conv_0"), 0))
+    _g["e3"].consumers.append((("enc4", "TorchConv_0", "Conv_0"), 0))
+    _g["e4"].consumers.append((("bottleneck_conv", "Conv_0"), 0))
     _g["e4"].bns.append(("bottleneck_bn", "BatchNorm_0"))
 
     # --- bottleneck (bottleneck_mlp IS the CAPMLP module, no nested level) ---
@@ -256,10 +263,10 @@ def eelunet_groups() -> List[_Group]:
     bd1 = ("bottleneck_mlp", "TorchDense_1", "Dense_0")
     bfin = ("bottleneck_mlp", "TorchConv_1", "Conv_0")
     G.append(_Group("bna", [("bottleneck_conv", "Conv_0")], [("bottleneck_conv", "Conv_0")], [],
-                    [(bfirst, "in")], quarter=True))
+                    [(bfirst, 0)], quarter=True))
     G.append(_Group("bot", [bfin], [bd1, bfin], [],
-                    [(bfin, "in"), (("pred5", "TorchConv_0", "Conv_0"), "in"),
-                     (_ct("edge_up4"), "in"), (_ct("upconv4"), "in")]))
+                    [(bfin, 0), (("pred5", "TorchConv_0", "Conv_0"), 0),
+                     (_ct("edge_up4"), 0), (_ct("upconv4"), 0)]))
 
     # --- stages 4 and 3 (MLP blocks everywhere) ---
     for i, nxt_edge_ct, pred in ((4, "edge_up3", "pred4"), (3, "edge_up2", "pred3")):
@@ -269,21 +276,21 @@ def eelunet_groups() -> List[_Group]:
         upfirst, upd1, upfin = _capmlp(up)
         dfirst, dd1, dfin = _capmlp(dec)
         dec_c0 = (dec, "TorchConv_0", "Conv_0")
-        G.append(_Group(f"eu{i}ct", [_ct(eu)], [_ct(eu)], [], [(eufirst, "in")], quarter=True))
+        G.append(_Group(f"eu{i}ct", [_ct(eu)], [_ct(eu)], [], [(eufirst, 0)], quarter=True))
         G.append(_Group(f"eu{i}", [eufin], [eud1, eufin], [(eu, "BatchNorm_0", "BatchNorm_0")],
-                        [(eufin, "in"), ((ec, "TorchConv_0", "Conv_0"), "in")]))
+                        [(eufin, 0), ((ec, "TorchConv_0", "Conv_0"), 0)]))
         G.append(_Group(f"ec{i}a", [(ec, "TorchConv_0", "Conv_0")], [(ec, "TorchConv_0", "Conv_0")],
-                        [(ec, "BatchNorm_0", "BatchNorm_0")], [(ecfirst, "in")], quarter=True))
-        G.append(_Group(f"u{i}ct", [_ct(up)], [_ct(up)], [], [(upfirst, "in")], quarter=True))
+                        [(ec, "BatchNorm_0", "BatchNorm_0")], [(ecfirst, 0)], quarter=True))
+        G.append(_Group(f"u{i}ct", [_ct(up)], [_ct(up)], [], [(upfirst, 0)], quarter=True))
         # fused edge+main block outputs (the add at models/eelunet.py dec_i)
         G.append(_Group(f"d{i}sum", [ecfin, upfin], [ecd1, ecfin, upd1, upfin],
                         [(ec, "BatchNorm_1", "BatchNorm_0"), (up, "BatchNorm_0", "BatchNorm_0")],
-                        [(ecfin, "in"), (upfin, "in"), (_ct(nxt_edge_ct), "in")]))
+                        [(ecfin, 0), (upfin, 0), (_ct(nxt_edge_ct), 0)]))
         G.append(_Group(f"d{i}a", [dec_c0], [dec_c0], [(dec, "BatchNorm_0", "BatchNorm_0")],
-                        [(dfirst, "in")], quarter=True))
+                        [(dfirst, 0)], quarter=True))
         nxt = _ct(f"upconv{i - 1}")
         G.append(_Group(f"d{i}", [dfin], [dd1, dfin], [(dec, "BatchNorm_1", "BatchNorm_0")],
-                        [(dfin, "in"), ((pred, "TorchConv_0", "Conv_0"), "in"), (nxt, "in")]))
+                        [(dfin, 0), ((pred, "TorchConv_0", "Conv_0"), 0), (nxt, 0)]))
 
     # --- stages 2 and 1 (plain conv blocks; high-pass is channel-transparent) ---
     for i, nxt_edge_ct, pred in ((2, "edge_up1", "pred2"), (1, None, "pred1")):
@@ -291,28 +298,27 @@ def eelunet_groups() -> List[_Group]:
         ec0, ecb0, ec1, ecb1 = _cb(ec)
         dc0, dcb0, dc1, dcb1 = _cb(dec)
         G.append(_Group(f"eu{i}", [_ct(eu)], [_ct(eu)], [(eu, "BatchNorm_0", "BatchNorm_0")],
-                        [(ec0, "in")]))
-        G.append(_Group(f"ec{i}a", [ec0], [ec0], [ecb0], [(ec1, "in")]))
-        sum_cons = [] if nxt_edge_ct is None else [(_ct(nxt_edge_ct), "in")]
+                        [(ec0, 0)]))
+        G.append(_Group(f"ec{i}a", [ec0], [ec0], [ecb0], [(ec1, 0)]))
+        sum_cons = [] if nxt_edge_ct is None else [(_ct(nxt_edge_ct), 0)]
         G.append(_Group(f"d{i}sum", [ec1, _ct(up)], [ec1, _ct(up)],
                         [ecb1, (up, "BatchNorm_0", "BatchNorm_0")], sum_cons))
-        G.append(_Group(f"d{i}a", [dc0], [dc0], [dcb0], [(dc1, "in")]))
+        G.append(_Group(f"d{i}a", [dc0], [dc0], [dcb0], [(dc1, 0)]))
         if i == 2:
             G.append(_Group("d2", [dc1], [dc1], [dcb1],
-                            [(("pred3", "TorchConv_0", "Conv_0"), "in")]))
+                            [(("pred3", "TorchConv_0", "Conv_0"), 0)]))
     # d2 consumers fixed below; d1 (dec1 block output) is intentionally unpruned.
     _g = {g.name: g for g in G}
-    _g["d2"].consumers = [((("pred2"), "TorchConv_0", "Conv_0"), "in"), (_ct("upconv1"), "in")]
+    _g["d2"].consumers = [((("pred2"), "TorchConv_0", "Conv_0"), 0), (_ct("upconv1"), 0)]
+
+    # Bridge: concat(dec_sum, crop(enc)) -> dec_i conv3x3. The enc-side group's
+    # channels sit at an offset of the d_isum group's ORIGINAL width inside the
+    # consumer's cin (models/eelunet.py bridge layout note).
+    for i, c in ((4, 512), (3, 256), (2, 128), (1, 64)):
+        dec_c0 = (f"dec{i}", "TorchConv_0", "Conv_0")
+        _g[f"d{i}sum"].consumers.append((dec_c0, 0))
+        _g[f"e{i}"].consumers.append((dec_c0, c))
     return G
-
-
-# interleave(dec_sum, crop(enc)) -> dec_i conv3x3: cin = [even: d{i}sum, odd: e{i}]
-EELUNET_INTERLEAVES = [
-    (("dec4", "TorchConv_0", "Conv_0"), "d4sum", "e4"),
-    (("dec3", "TorchConv_0", "Conv_0"), "d3sum", "e3"),
-    (("dec2", "TorchConv_0", "Conv_0"), "d2sum", "e2"),
-    (("dec1", "TorchConv_0", "Conv_0"), "d1sum", "e1"),
-]
 
 
 def _group_keep(norms: np.ndarray, amount: float, round_to: int, quarter: bool) -> np.ndarray:
@@ -349,8 +355,6 @@ def eelunet_keep_sets(params, amount: float, round_to: int = 64) -> Dict[str, np
             s = (kern ** 2).sum(axis=tuple(range(kern.ndim - 1)))
             sq = s if sq is None else sq + s
         keeps[g.name] = _group_keep(np.sqrt(sq), amount, round_to, g.quarter)
-    for _, even_g, odd_g in EELUNET_INTERLEAVES:
-        assert len(keeps[even_g]) == len(keeps[odd_g]), (even_g, odd_g)
     return keeps
 
 
@@ -402,15 +406,16 @@ def physical_prune_eelunet(params, batch_stats, amount: float, round_to: int = 6
             sleaf = _get(bs, path)
             sleaf["mean"] = np.ascontiguousarray(sleaf["mean"][idx])
             sleaf["var"] = np.ascontiguousarray(sleaf["var"][idx])
-        for path, _kind in g.consumers:
-            leaf = _get(p, path)
-            leaf["kernel"] = np.ascontiguousarray(leaf["kernel"][..., idx, :])
-    for cons, even_g, odd_g in EELUNET_INTERLEAVES:
-        ka, kb = keeps[even_g], keeps[odd_g]
-        idx = np.empty(2 * len(ka), np.int64)
-        idx[0::2] = 2 * ka
-        idx[1::2] = 2 * kb + 1
-        leaf = _get(p, cons)
+    # Consumer cin slices: gather kept input indices per consumer across every
+    # group feeding it (the concat-bridge dec convs have two, with offsets in
+    # ORIGINAL channel space — same scheme as physical_prune_unet).
+    consumer_idx: Dict[tuple, List[Tuple[int, np.ndarray]]] = {}
+    for g in eelunet_groups():
+        for path, offset in g.consumers:
+            consumer_idx.setdefault(path, []).append((offset, keeps[g.name] + offset))
+    for path, parts in consumer_idx.items():
+        idx = np.concatenate([ix for _, ix in sorted(parts, key=lambda t: t[0])])
+        leaf = _get(p, path)
         leaf["kernel"] = np.ascontiguousarray(leaf["kernel"][..., idx, :])
     widths = {name: int(len(k)) for name, k in keeps.items()}
     return p, bs, widths

@@ -38,7 +38,10 @@ class CheckpointManager:
         }
 
     def save(self, tag: str, state, force: bool = True) -> str:
-        path = os.path.join(self.root, f"{self.model_name}_{tag}")
+        return self.save_to(os.path.join(self.root, f"{self.model_name}_{tag}"), state, force)
+
+    def save_to(self, path: str, state, force: bool = True) -> str:
+        """Save to an explicit directory path (outside the tag namespace)."""
         self._ckptr.save(path, self._state_tree(state), force=force)
         self._ckptr.wait_until_finished()
         return path

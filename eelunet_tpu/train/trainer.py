@@ -53,7 +53,14 @@ def make_loss_fn(loss_name: str, loss_cfg, meta):
     return fn
 
 
-def make_train_step(model, loss_fn, has_batch_stats: bool, donate: bool = True, remat: bool = False):
+def make_train_step(
+    model,
+    loss_fn,
+    has_batch_stats: bool,
+    donate: bool = True,
+    remat: bool = False,
+    accum_steps: int = 1,
+):
     def apply_train(params, batch_stats, images):
         variables = {"params": params}
         if has_batch_stats:
@@ -67,16 +74,50 @@ def make_train_step(model, loss_fn, has_batch_stats: bool, donate: bool = True, 
         # FLOPs for activation HBM (SURVEY.md build-plan design stance).
         apply_train = jax.checkpoint(apply_train)
 
-    def train_step(state: TrainState, images, labels):
-        def compute_loss(params):
-            output, new_stats = apply_train(params, state.batch_stats, images)
+    def grads_of(params, batch_stats, images, labels):
+        def compute_loss(p):
+            output, new_stats = apply_train(p, batch_stats, images)
             return loss_fn(output, labels), new_stats
 
-        (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
+        return loss, new_stats, grads
+
+    def train_step(state: TrainState, images, labels):
+        loss, new_stats, grads = grads_of(state.params, state.batch_stats, images, labels)
         new_state = state.apply_gradients(grads, new_stats)
         return new_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def train_step_accum(state: TrainState, images, labels):
+        # Gradient accumulation: split the global batch into `accum_steps`
+        # micro-batches scanned sequentially — only ONE micro-batch's
+        # activations are live at a time, so peak HBM scales with B/accum
+        # while the optimizer sees the full-batch (mean) gradient. All the
+        # losses are means of per-sample terms, so the mean of micro-batch
+        # losses/grads equals the full-batch value exactly (BN models aside:
+        # batch stats update sequentially per micro-batch, like torch would
+        # on N sequential forwards).
+        b = images.shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch {b} not divisible by accum_steps {accum_steps}")
+        mb = b // accum_steps
+        im = images.reshape(accum_steps, mb, *images.shape[1:])
+        lb = labels.reshape(accum_steps, mb, *labels.shape[1:])
+
+        def body(carry, xs):
+            stats, gsum, lsum = carry
+            loss, new_stats, grads = grads_of(state.params, stats, xs[0], xs[1])
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (new_stats, gsum, lsum + loss), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        init = (state.batch_stats, zero_g, jnp.zeros((), jnp.float32))
+        (new_stats, gsum, lsum), _ = jax.lax.scan(body, init, (im, lb))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, lsum / accum_steps
+
+    fn = train_step_accum if accum_steps > 1 else train_step
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_loss_step(model, loss_fn, has_batch_stats: bool):
@@ -179,7 +220,10 @@ class Trainer:
                 # for gradient steps; eval/predict keep the Pallas kernel.
                 # Param trees are identical, so the state is shared.
                 train_model = train_model.clone(highpass_impl="lowrank")
-            fn = make_train_step(train_model, self.loss_fn, has_bs, self.cfg.donate_buffers, self.cfg.remat)
+            fn = make_train_step(
+                train_model, self.loss_fn, has_bs, self.cfg.donate_buffers,
+                self.cfg.remat, self.cfg.accum_steps,
+            )
         elif name == "eval_loss":
             fn = make_eval_loss_step(self.model, self.loss_fn, has_bs)
         elif name == "eval":

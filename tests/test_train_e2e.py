@@ -78,6 +78,11 @@ def test_checkpoint_resume(tmp_path):
     template = trainer2.init_state(steps_per_epoch=2)
     restored = trainer2.ckpt.restore(path, template)
     assert int(restored.step) == step0
+
+    # explicit-path save (cli.prune --out with a path) round-trips too
+    explicit = trainer.ckpt.save_to(str(tmp_path / "explicit_ckpt"), state)
+    assert explicit == str(tmp_path / "explicit_ckpt")
+    assert int(trainer2.ckpt.restore(explicit, template).step) == step0
     a = jax.tree_util.tree_leaves(state.params)
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
@@ -107,6 +112,42 @@ def test_resume_auto(tmp_path):
     state2, _ = trainer2.fit(tr, va, te, log=msgs2.append)
     assert any("Resumed full train state" in m for m in msgs2)
     assert int(state2.step) > step0
+
+
+def test_grad_accumulation_matches_full_batch(tmp_path):
+    """accum_steps=4 must follow the accum_steps=1 trajectory: every loss is a
+    mean of per-sample terms, so micro-batch grad means == full-batch grads
+    (unet has no BN, so there is no batch-statistics divergence)."""
+    histories = []
+    for accum in (1, 4):
+        tr, va, te = _loaders()  # fresh: shuffling loaders are stateful across epochs
+        cfg = apply_overrides(_tiny_cfg(tmp_path, epochs=2), [f"accum_steps={accum}"])
+        trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+        _, history = trainer.fit(tr, va, te, log=lambda *a: None)
+        histories.append(history)
+    np.testing.assert_allclose(
+        histories[0]["train_loss"], histories[1]["train_loss"], rtol=2e-4
+    )
+    np.testing.assert_allclose(histories[0]["val_loss"], histories[1]["val_loss"], rtol=2e-4)
+
+
+def test_grad_accumulation_bn_model(tmp_path):
+    """BN models run under accumulation (stats update per micro-batch) and
+    still converge; batch not divisible by accum_steps is rejected."""
+    import jax.numpy as jnp
+
+    from eelunet_tpu.train.trainer import make_train_step
+
+    cfg = apply_overrides(_tiny_cfg(tmp_path, model="malunet", epochs=2), ["accum_steps=2"])
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    tr, va, te = _loaders()
+    state, history = trainer.fit(tr, va, te, log=lambda *a: None)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert all(np.isfinite(history["train_loss"]))
+
+    step = make_train_step(trainer.model, trainer.loss_fn, True, accum_steps=3)
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, jnp.zeros((4, 32, 32, 3)), jnp.zeros((4, 32, 32, 1)))
 
 
 def test_seed_reproducibility(tmp_path):
