@@ -19,9 +19,23 @@ intermediates (2 writes + 2 reads of 4-byte data per call) and every
 fusion-seam relayout around the skinny einsums, which profiling showed cost
 more than the matmul FLOPs (docs/PERF.md ablation).
 
-Gradients: ``high_pass_fft_pallas`` carries a custom VJP whose backward is
-the autodiff transpose of the (numerically matching) XLA low-rank path —
-correct by construction and tested against ``jax.grad`` of that path.
+Gradients: ``high_pass_fft_pallas`` carries a custom VJP. The backward is the
+analytic adjoint of the low-rank operator on the saved skinny spectrum S
+(``_highpass_bwd_impl`` documents the math) and, like the forward, runs as a
+Pallas kernel pair when the shape tiles cleanly:
+
+  kernel B1 (contract): stream x and g, rebuild the low-pass tile from S on
+      the fly, form u = g.z/|z| in-register, write u's real part once, and
+      accumulate the skinny T = U_H^T conj(u) in the same pass (u's imaginary
+      part never leaves VMEM).
+  XLA middle: the same four skinny W-axis einsums as the forward transpose.
+  kernel B2 (expand): dx = Re(u) - V_H^T rows, streamed, one write.
+
+The XLA analytic adjoint (einsum chain) remains as ``_highpass_bwd_impl`` —
+the golden path for tests and the fallback for untiled shapes. Measured at
+512^2 batch 8 bf16 training: the XLA adjoint's full-res einsums hit layout
+seams (277.8 ms/step vs 263.2 for lowrank-everywhere, docs/PERF.md); the
+kernel pair removes those seams and the f32 full-res intermediates.
 """
 
 from __future__ import annotations
@@ -266,6 +280,136 @@ def _highpass_bwd_impl(x: jnp.ndarray, s_r, s_i, g: jnp.ndarray, mask_range: int
     return dx.reshape(b, h, w, c).astype(g.dtype)
 
 
+# --- backward kernel B1: u = g.z/|z| (write Re), T = U_H^T conj(u) ----------
+def _bwd_contract_kernel(uhr_ref, uhi_ref, sr_ref, si_ref, x_ref, g_ref,
+                         u_ref, tr_ref, ti_ref):
+    ht = pl.program_id(2)
+
+    @pl.when(ht == 0)
+    def _():
+        tr_ref[0] = jnp.zeros_like(tr_ref[0])
+        ti_ref[0] = jnp.zeros_like(ti_ref[0])
+
+    uhr = uhr_ref[:]  # (Th, K) f32
+    uhi = uhi_ref[:]
+    sr = sr_ref[0]    # (K, WCt) f32
+    si = si_ref[0]
+    lr = jnp.dot(uhr, sr, preferred_element_type=jnp.float32) - jnp.dot(
+        uhi, si, preferred_element_type=jnp.float32
+    )
+    li = jnp.dot(uhr, si, preferred_element_type=jnp.float32) + jnp.dot(
+        uhi, sr, preferred_element_type=jnp.float32
+    )
+    zr = x_ref[0].astype(jnp.float32) - lr
+    zi = -li
+    sq = zr * zr + zi * zi
+    r = jnp.sqrt(jnp.maximum(sq, _EPS))
+    coef = jnp.where(sq >= _EPS, g_ref[0].astype(jnp.float32) / r, 0.0)
+    ur = coef * zr
+    ui = coef * zi
+    u_ref[0] = ur.astype(u_ref.dtype)
+    # t_r + i t_i = U_H^T conj(u):  t_r = Ur^T ur + Ui^T ui, t_i = Ui^T ur - Ur^T ui
+    tr_ref[0] += jax.lax.dot_general(
+        uhr, ur, _DN_T, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(uhi, ui, _DN_T, preferred_element_type=jnp.float32)
+    ti_ref[0] += jax.lax.dot_general(
+        uhi, ur, _DN_T, preferred_element_type=jnp.float32
+    ) - jax.lax.dot_general(uhr, ui, _DN_T, preferred_element_type=jnp.float32)
+
+
+# --- backward kernel B2: dx = Re(u) - Re(V_H^T rows), streamed --------------
+def _bwd_expand_kernel(vhrt_ref, vhit_ref, rr_ref, ri_ref, u_ref, dx_ref):
+    adj = jnp.dot(
+        vhrt_ref[:], rr_ref[0], preferred_element_type=jnp.float32
+    ) - jnp.dot(vhit_ref[:], ri_ref[0], preferred_element_type=jnp.float32)
+    dx_ref[0] = (u_ref[0].astype(jnp.float32) - adj).astype(dx_ref.dtype)
+
+
+def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
+    """Kernel-pair version of ``_highpass_bwd_impl`` (same math, same skinny
+    middle; full-res passes fused in VMEM). WCt tiles cap at 2048 here: B1
+    holds two extra full-res blocks (g in, u out) plus the two skinny T
+    accumulators vs the forward expand kernel's budget."""
+    b, h, w, c = x.shape
+    m = min(mask_range, h // 2, w // 2)
+    k = max(_round_up(2 * m, 16), 16)
+    wc = w * c
+    th = _pick_tile(h, (64, 32, 16, 8))
+    wct = _pick_tile(wc, (2048, 1024, 512, 256, 128))
+    if th == 0 or wct == 0:
+        return _highpass_bwd_impl(x, s_r, s_i, g, mask_range)
+    n_ht, n_wc = h // th, wc // wct
+
+    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
+    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
+    xm = x.reshape(b, h, wc)
+    gm = g.reshape(b, h, wc)
+
+    u_re, t_r, t_i = pl.pallas_call(
+        _bwd_contract_kernel,
+        grid=(b, n_wc, n_ht),
+        in_specs=[
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, wc), x.dtype),
+            jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(uhr, jnp.float32), jnp.asarray(uhi, jnp.float32),
+        s_r, s_i, xm, gm,
+    )
+
+    # skinny W-axis middle (identical to _highpass_bwd_impl)
+    prec = jax.lax.Precision.HIGHEST
+    t_r4 = t_r.reshape(b, k, w, c)
+    t_i4 = t_i.reshape(b, k, w, c)
+
+    def ein(eq, a, t):
+        return jnp.einsum(eq, jnp.asarray(a), t, precision=prec)
+
+    core_r = ein("wl,bkwc->bklc", uwr, t_r4) - ein("wl,bkwc->bklc", uwi, t_i4)
+    core_i = ein("wl,bkwc->bklc", uwr, t_i4) + ein("wl,bkwc->bklc", uwi, t_r4)
+    row_r = ein("lw,bklc->bkwc", vwr, core_r) - ein("lw,bklc->bkwc", vwi, core_i)
+    row_i = ein("lw,bklc->bkwc", vwr, core_i) + ein("lw,bklc->bkwc", vwi, core_r)
+    row_r = row_r.reshape(b, k, wc)
+    row_i = row_i.reshape(b, k, wc)
+
+    dx = pl.pallas_call(
+        _bwd_expand_kernel,
+        grid=(b, n_wc, n_ht),
+        in_specs=[
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wc), g.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(np.ascontiguousarray(vhr.T), jnp.float32),
+        jnp.asarray(np.ascontiguousarray(vhi.T), jnp.float32),
+        row_r, row_i, u_re,
+    )
+    return dx.reshape(b, h, w, c)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def high_pass_fft_pallas(x: jnp.ndarray, mask_range: int = 20, interpret: bool = False):
     """abs(x - lowpass(x)) for NHWC input — fused Pallas TPU path.
@@ -285,7 +429,7 @@ def _vjp_fwd(x, mask_range, interpret):
 
 def _vjp_bwd(mask_range, interpret, res, g):
     x, s_r, s_i = res
-    return (_highpass_bwd_impl(x, s_r, s_i, g, mask_range),)
+    return (_highpass_bwd_pallas(x, s_r, s_i, g, mask_range, interpret),)
 
 
 high_pass_fft_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -213,12 +213,17 @@ class Trainer:
         has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
         if name == "train":
             train_model = self.model
-            if getattr(train_model, "highpass_impl", None) == "auto":
-                # The Pallas high-pass wins on inference (-4.4%) but its
-                # custom VJP recomputes the XLA path in the backward — a net
-                # +8 ms/step at 512^2 (measured). Pin the XLA low-rank path
-                # for gradient steps; eval/predict keep the Pallas kernel.
-                # Param trees are identical, so the state is shared.
+            if (
+                getattr(train_model, "highpass_impl", None) == "auto"
+                and int(self.mesh.devices.size) > 1
+            ):
+                # Multi-device: pallas_call has no partitioning rule, so a
+                # batch/H-sharded input would be gathered+replicated around
+                # the kernel; the low-rank matmul formulation is fully
+                # XLA-partitionable. Single-device training keeps "auto"
+                # (the Pallas fwd + kernel-backward pair, -8.2 ms/step at
+                # 512^2 vs lowrank, docs/PERF.md). Param trees are identical
+                # either way, so the state is shared.
                 train_model = train_model.clone(highpass_impl="lowrank")
             fn = make_train_step(
                 train_model, self.loss_fn, has_bs, self.cfg.donate_buffers,

@@ -93,6 +93,24 @@ def test_pallas_grad_weighted_cotangent():
     np.testing.assert_allclose(gp, gl, atol=1e-4, rtol=1e-3)
 
 
+def test_bwd_kernels_match_xla_adjoint():
+    """The backward kernel pair (B1 contract / B2 expand) must reproduce the
+    XLA analytic adjoint bit-for-tolerance on the same saved spectrum."""
+    from eelunet_tpu.ops.fft_pallas import (
+        _highpass_bwd_impl,
+        _highpass_bwd_pallas,
+        _highpass_fwd,
+    )
+
+    for shape, m, seed in (((2, 32, 32, 8), 8, 11), ((1, 16, 64, 8), 4, 12)):
+        x = _rand(shape, seed=seed)
+        g = _rand(shape, seed=seed + 100)
+        _, (s_r, s_i) = _highpass_fwd(x, m, True)
+        want = np.asarray(_highpass_bwd_impl(x, s_r, s_i, g, m))
+        got = np.asarray(_highpass_bwd_pallas(x, s_r, s_i, g, m, True))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+
+
 def test_pallas_supported_predicate():
     assert pallas_supported((8, 512, 512, 64))
     assert pallas_supported((8, 256, 256, 128))
