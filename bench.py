@@ -18,7 +18,11 @@ import sys
 import time
 
 IMAGE = 512
-BATCH = 8
+# Headline batch: 16 is the measured single-chip optimum at 512^2 (99.5
+# img/s vs 96.8 @8 and 96.5 @32, docs/PERF.md sweep). Secondary metrics
+# keep batch 8 for cross-round comparability.
+BATCH = 16
+DETAIL_BATCH = 8
 WARMUP = 1
 ITERS = 20
 CPU_ITERS = 2
@@ -184,15 +188,15 @@ def main():
     if os.environ.get("BENCH_FULL") == "1":
         for name in ("unet", "egeunet", "unext", "malunet"):
             try:
-                detail[f"{name}_256_bf16"] = _measure(name, 256, BATCH, 10, 2, "bfloat16")
+                detail[f"{name}_256_bf16"] = _measure(name, 256, DETAIL_BATCH, 10, 2, "bfloat16")
             except Exception as e:
                 detail[f"{name}_256_bf16"] = f"error: {e}"
         try:
-            detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, BATCH)
+            detail["eelunet_256_train_bf16"] = _measure_train("eelunet", 256, DETAIL_BATCH)
         except Exception as e:
             detail["eelunet_256_train_bf16"] = f"error: {e}"
         try:
-            detail["eelunet_slim50_512_bf16"] = _measure_slim_eelunet(IMAGE, BATCH)
+            detail["eelunet_slim50_512_bf16"] = _measure_slim_eelunet(IMAGE, DETAIL_BATCH)
         except Exception as e:
             detail["eelunet_slim50_512_bf16"] = f"error: {e}"
 
