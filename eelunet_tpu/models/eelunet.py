@@ -150,9 +150,22 @@ def high_pass_fft(x: jnp.ndarray, mask_range: int = 20, impl: str = "auto") -> j
     import os
 
     from eelunet_tpu.ops.fft import high_pass_fft_lowrank
-    from eelunet_tpu.ops.fft_pallas import high_pass_fft_pallas, pallas_supported
+    from eelunet_tpu.ops.fft_pallas import (
+        high_pass_fft_pallas,
+        high_pass_fft_pallas_sharded,
+        pallas_supported,
+    )
 
     impl = os.environ.get("EELUNET_HIGHPASS", impl)
+    # EELUNET_PALLAS_INTERPRET=1 runs the kernels in interpret mode (CPU
+    # multi-device tests of the sharded path; no effect on TPU runs).
+    interpret = os.environ.get("EELUNET_PALLAS_INTERPRET") == "1"
+    if impl in ("pallas", "pallas_sharded") and not pallas_supported(x.shape):
+        return high_pass_fft_lowrank(x, mask_range)
+    if impl == "pallas_sharded":
+        # custom_partitioning wrapper: batch-sharded meshes run the kernels
+        # on local shards instead of gather+replicate (fft_pallas.py).
+        return high_pass_fft_pallas_sharded(x, mask_range, interpret)
     use_pallas = impl == "pallas" or (
         impl == "auto"
         and x.dtype == jnp.bfloat16
@@ -160,7 +173,7 @@ def high_pass_fft(x: jnp.ndarray, mask_range: int = 20, impl: str = "auto") -> j
         and pallas_supported(x.shape)
     )
     if use_pallas:
-        return high_pass_fft_pallas(x, mask_range)
+        return high_pass_fft_pallas(x, mask_range, interpret)
     return high_pass_fft_lowrank(x, mask_range)
 
 

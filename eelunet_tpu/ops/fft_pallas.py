@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 from eelunet_tpu.ops.fft import _axis_factors, high_pass_fft_lowrank
@@ -136,12 +137,36 @@ def _expand_kernel(ur_ref, ui_ref, sr_ref, si_ref, x_ref, out_ref):
     out_ref[0] = jnp.sqrt(jnp.maximum(sq, _EPS)).astype(out_ref.dtype)
 
 
-def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
-    """Returns (out, (s_r, s_i)): the result plus the skinny complex row
-    spectrum S (B, K, W*C) such that lowpass(x) = U_H @ S — saved as the
-    VJP residual so the backward never recomputes the x contraction."""
-    b, h, w, c = x.shape
+def _fwd_factor_args(x: jnp.ndarray, mask_range: int):
+    """Factor matrices for ``_fwd_core`` as ARRAYS (not trace constants):
+    the custom_partitioning sharded path requires a const-free jaxpr, so
+    every array the core touches must be an operand."""
+    _, h, w, c = x.shape
     m = min(mask_range, h // 2, w // 2)  # joint clamp (EELUnet.py:155-157)
+    k = max(_round_up(2 * m, 16), 16)
+    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
+    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
+    cdt = x.dtype  # contract matmuls run in the model dtype, f32 accumulation
+    return (
+        jnp.asarray(np.ascontiguousarray(vhr.T), cdt),   # (H, K)
+        jnp.asarray(np.ascontiguousarray(vhi.T), cdt),
+        jnp.asarray(uhr, jnp.float32),                   # (H, K)
+        jnp.asarray(uhi, jnp.float32),
+        jnp.asarray(uwr, jnp.float32),                   # (W, K)
+        jnp.asarray(uwi, jnp.float32),
+        jnp.asarray(vwr, jnp.float32),                   # (K, W)
+        jnp.asarray(vwi, jnp.float32),
+    )
+
+
+def _fwd_core(x, vhr_t, vhi_t, uhr, uhi, uwr, uwi, vwr, vwi,
+              mask_range: int, interpret: bool):
+    """Kernel-pair forward on explicit factor operands. Returns
+    (out, s_r, s_i): the result plus the skinny complex row spectrum S
+    (B, K, W*C) such that lowpass(x) = U_H @ S — saved as the VJP residual
+    so the backward never recomputes the x contraction."""
+    b, h, w, c = x.shape
+    m = min(mask_range, h // 2, w // 2)
     k = max(_round_up(2 * m, 16), 16)
     wc = w * c
     # WCt capped at 4096: the expand kernel holds 2 double-buffered f32 S
@@ -152,12 +177,6 @@ def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
     if th == 0 or wct == 0:
         raise ValueError(f"unsupported shape for Pallas high-pass: {x.shape}")
     n_ht, n_wc = h // th, wc // wct
-
-    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
-    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
-    cdt = x.dtype  # matmuls run in the model dtype, f32 accumulation
-    vhr_d = jnp.asarray(np.ascontiguousarray(vhr.T), cdt)  # (H, K)
-    vhi_d = jnp.asarray(np.ascontiguousarray(vhi.T), cdt)
 
     xm = x.reshape(b, h, wc)
 
@@ -178,7 +197,7 @@ def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
             jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
         ),
         interpret=interpret,
-    )(vhr_d, vhi_d, xm)
+    )(vhr_t, vhi_t, xm)
 
     # --- XLA middle on the skinny T: contract then expand the W axis -------
     # T is (B, K, W, C); all four einsums touch K-row data only (~2% of x).
@@ -187,7 +206,7 @@ def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
     ti4 = ti.reshape(b, k, w, c)
 
     def ein(eq, a, t):
-        return jnp.einsum(eq, jnp.asarray(a), t, precision=prec)
+        return jnp.einsum(eq, a, t, precision=prec)
 
     core_r = ein("lw,bkwc->bklc", vwr, tr4) - ein("lw,bkwc->bklc", vwi, ti4)
     core_i = ein("lw,bkwc->bklc", vwr, ti4) + ein("lw,bkwc->bklc", vwi, tr4)
@@ -211,8 +230,15 @@ def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wc), x.dtype),
         interpret=interpret,
-    )(jnp.asarray(uhr, jnp.float32), jnp.asarray(uhi, jnp.float32), s_r, s_i, xm)
-    return out.reshape(b, h, w, c), (s_r, s_i)
+    )(uhr, uhi, s_r, s_i, xm)
+    return out.reshape(b, h, w, c), s_r, s_i
+
+
+def _highpass_fwd(x: jnp.ndarray, mask_range: int, interpret: bool):
+    out, s_r, s_i = _fwd_core(
+        x, *_fwd_factor_args(x, mask_range), mask_range, interpret
+    )
+    return out, (s_r, s_i)
 
 
 def _highpass_bwd_impl(x: jnp.ndarray, s_r, s_i, g: jnp.ndarray, mask_range: int):
@@ -325,7 +351,27 @@ def _bwd_expand_kernel(vhrt_ref, vhit_ref, rr_ref, ri_ref, u_ref, dx_ref):
     dx_ref[0] = (u_ref[0].astype(jnp.float32) - adj).astype(dx_ref.dtype)
 
 
-def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
+def _bwd_factor_args(x: jnp.ndarray, mask_range: int):
+    """Factor matrices for ``_bwd_core`` as arrays (see ``_fwd_factor_args``)."""
+    _, h, w, c = x.shape
+    m = min(mask_range, h // 2, w // 2)
+    k = max(_round_up(2 * m, 16), 16)
+    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
+    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
+    return (
+        jnp.asarray(uhr, jnp.float32),                   # (H, K)
+        jnp.asarray(uhi, jnp.float32),
+        jnp.asarray(np.ascontiguousarray(vhr.T), jnp.float32),  # (H, K)
+        jnp.asarray(np.ascontiguousarray(vhi.T), jnp.float32),
+        jnp.asarray(uwr, jnp.float32),                   # (W, K)
+        jnp.asarray(uwi, jnp.float32),
+        jnp.asarray(vwr, jnp.float32),                   # (K, W)
+        jnp.asarray(vwi, jnp.float32),
+    )
+
+
+def _bwd_core(x, s_r, s_i, g, uhr, uhi, vhr_t, vhi_t, uwr, uwi, vwr, vwi,
+              mask_range: int, interpret: bool):
     """Kernel-pair version of ``_highpass_bwd_impl`` (same math, same skinny
     middle; full-res passes fused in VMEM). WCt tiles cap at 2048 here: B1
     holds two extra full-res blocks (g in, u out) plus the two skinny T
@@ -337,11 +383,9 @@ def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
     th = _pick_tile(h, (64, 32, 16, 8))
     wct = _pick_tile(wc, (2048, 1024, 512, 256, 128))
     if th == 0 or wct == 0:
-        return _highpass_bwd_impl(x, s_r, s_i, g, mask_range)
+        raise ValueError(f"unsupported shape for Pallas high-pass bwd: {x.shape}")
     n_ht, n_wc = h // th, wc // wct
 
-    uhr, uhi, vhr, vhi = _padded_factors(h, m, k)
-    uwr, uwi, vwr, vwi = _padded_factors(w, m, k)
     xm = x.reshape(b, h, wc)
     gm = g.reshape(b, h, wc)
 
@@ -367,10 +411,7 @@ def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
             jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(uhr, jnp.float32), jnp.asarray(uhi, jnp.float32),
-        s_r, s_i, xm, gm,
-    )
+    )(uhr, uhi, s_r, s_i, xm, gm)
 
     # skinny W-axis middle (identical to _highpass_bwd_impl)
     prec = jax.lax.Precision.HIGHEST
@@ -378,7 +419,7 @@ def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
     t_i4 = t_i.reshape(b, k, w, c)
 
     def ein(eq, a, t):
-        return jnp.einsum(eq, jnp.asarray(a), t, precision=prec)
+        return jnp.einsum(eq, a, t, precision=prec)
 
     core_r = ein("wl,bkwc->bklc", uwr, t_r4) - ein("wl,bkwc->bklc", uwi, t_i4)
     core_i = ein("wl,bkwc->bklc", uwr, t_i4) + ein("wl,bkwc->bklc", uwi, t_r4)
@@ -402,12 +443,130 @@ def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, wc), g.dtype),
         interpret=interpret,
-    )(
-        jnp.asarray(np.ascontiguousarray(vhr.T), jnp.float32),
-        jnp.asarray(np.ascontiguousarray(vhi.T), jnp.float32),
-        row_r, row_i, u_re,
-    )
+    )(vhr_t, vhi_t, row_r, row_i, u_re)
     return dx.reshape(b, h, w, c)
+
+
+def _highpass_bwd_pallas(x, s_r, s_i, g, mask_range: int, interpret: bool):
+    """Backward kernel pair on auto-built factors; falls back to the XLA
+    analytic adjoint for shapes the kernels can't tile."""
+    wc = x.shape[2] * x.shape[3]
+    if _pick_tile(x.shape[1], (64, 32, 16, 8)) == 0 or _pick_tile(
+        wc, (2048, 1024, 512, 256, 128)
+    ) == 0:
+        return _highpass_bwd_impl(x, s_r, s_i, g, mask_range)
+    return _bwd_core(x, s_r, s_i, g, *_bwd_factor_args(x, mask_range), mask_range, interpret)
+
+
+# --- SPMD wrappers: batch-sharded multi-device execution ---------------------
+# pallas_call has no partitioning rule, so under pjit a sharded operand would
+# be all-gathered and the kernel replicated per device. The high-pass couples
+# only H and W; it is independent per (batch, channel). These
+# custom_partitioning wrappers declare exactly that (Shardy rule: batch
+# passes through, everything else need_replication), so data-parallel meshes
+# run the kernels on their LOCAL batch shard with zero collectives. The
+# skinny spectrum residuals (s_r, s_i) shard on batch alongside x, so the
+# backward kernels stay local too.
+
+
+def _batch_only_sharding(sharding, rank):
+    """Keep only the batch-dim component of a NamedSharding."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    try:
+        spec = sharding.spec
+    except AttributeError:  # non-Named sharding: force full replication
+        return sharding
+    b = spec[0] if len(spec) else None
+    return NamedSharding(sharding.mesh, PartitionSpec(b, *([None] * (rank - 1))))
+
+
+def _replicated_sharding_of(sharding):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    try:
+        return NamedSharding(sharding.mesh, PartitionSpec())
+    except AttributeError:
+        return sharding
+
+
+# The wrapped functions must trace to a CONST-FREE jaxpr (custom_partitioning
+# asserts this), so the DFT factor matrices are explicit operands, replicated
+# across the mesh by the sharding rule.
+
+_fwd3_p = custom_partitioning(_fwd_core, static_argnums=(9, 10))
+
+
+def _fwd_partition(mask_range, interpret, mesh, arg_shapes, result_shape):
+    def lower(x, *facs):
+        return _fwd_core(x, *facs, mask_range, interpret)
+
+    out_sh = tuple(
+        _batch_only_sharding(r.sharding, len(r.shape)) for r in result_shape
+    )
+    arg_sh = (_batch_only_sharding(arg_shapes[0].sharding, 4),) + tuple(
+        _replicated_sharding_of(a.sharding) for a in arg_shapes[1:]
+    )
+    return mesh, lower, out_sh, arg_sh
+
+
+_fwd3_p.def_partition(
+    partition=_fwd_partition,
+    sharding_rule=(
+        "b h w c, h k, h k, h k, h k, w k, w k, k w, k w -> b h w c, b k m, b k m"
+    ),
+    need_replication_factors=("h", "w", "c", "k", "m"),
+)
+
+
+_bwd4_p = custom_partitioning(_bwd_core, static_argnums=(12, 13))
+
+
+def _bwd_partition(mask_range, interpret, mesh, arg_shapes, result_shape):
+    def lower(x, s_r, s_i, g, *facs):
+        return _bwd_core(x, s_r, s_i, g, *facs, mask_range, interpret)
+
+    arg_sh = tuple(
+        _batch_only_sharding(a.sharding, len(a.shape))
+        if i < 4
+        else _replicated_sharding_of(a.sharding)
+        for i, a in enumerate(arg_shapes)
+    )
+    return mesh, lower, _batch_only_sharding(result_shape.sharding, 4), arg_sh
+
+
+_bwd4_p.def_partition(
+    partition=_bwd_partition,
+    sharding_rule=(
+        "b h w c, b k m, b k m, b h w c, h k, h k, h k, h k, w k, w k, k w, k w"
+        " -> b h w c"
+    ),
+    need_replication_factors=("h", "w", "c", "k", "m"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def high_pass_fft_pallas_sharded(x: jnp.ndarray, mask_range: int = 20, interpret: bool = False):
+    """``high_pass_fft_pallas`` with SPMD partitioning declared: under a
+    batch-sharded pjit/jit the kernel pair runs per-device on local shards
+    (no gather). H/W/C sharding is replicated in (spatial sharding keeps the
+    XLA low-rank path — parallel/spatial.py)."""
+    return _fwd3_p(x, *_fwd_factor_args(x, mask_range), mask_range, interpret)[0]
+
+
+def _svjp_fwd(x, mask_range, interpret):
+    out, s_r, s_i = _fwd3_p(x, *_fwd_factor_args(x, mask_range), mask_range, interpret)
+    return out, (x, s_r, s_i)
+
+
+def _svjp_bwd(mask_range, interpret, res, g):
+    x, s_r, s_i = res
+    return (
+        _bwd4_p(x, s_r, s_i, g, *_bwd_factor_args(x, mask_range), mask_range, interpret),
+    )
+
+
+high_pass_fft_pallas_sharded.defvjp(_svjp_fwd, _svjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

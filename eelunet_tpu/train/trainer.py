@@ -152,12 +152,21 @@ class Trainer:
             cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis
         )
         model_cfg = cfg.model
-        if spatial_size(self.mesh) > 1 and getattr(model_cfg, "highpass_impl", "auto") == "auto":
-            # H-sharded activations: the low-rank matmul high-pass is
-            # XLA-partitionable; a pallas_call would be gathered+replicated.
+        self._highpass_auto = getattr(model_cfg, "highpass_impl", "auto") == "auto"
+        if self._highpass_auto:
             import dataclasses
 
-            model_cfg = dataclasses.replace(model_cfg, highpass_impl="lowrank")
+            if spatial_size(self.mesh) > 1:
+                # H-sharded activations: the low-rank matmul high-pass is
+                # XLA-partitionable; a pallas_call would be gathered+replicated.
+                model_cfg = dataclasses.replace(model_cfg, highpass_impl="lowrank")
+            elif int(self.mesh.devices.size) > 1 and jax.default_backend() == "tpu":
+                # Batch-sharded multi-device eval/inference: the
+                # custom_partitioning wrapper keeps the Pallas kernels on
+                # local shards (a bare pallas_call has no partitioning rule
+                # and would be gathered+replicated). Train steps still pin
+                # lowrank below.
+                model_cfg = dataclasses.replace(model_cfg, highpass_impl="pallas_sharded")
         self.model, self.meta = create_model(model_cfg)
         self.loss_name = L.resolve_loss_name(cfg.loss.name, cfg.model.name)
         self.loss_fn = make_loss_fn(self.loss_name, cfg.loss, self.meta)
@@ -213,17 +222,19 @@ class Trainer:
         has_bs = bool(jax.tree_util.tree_leaves(state.batch_stats))
         if name == "train":
             train_model = self.model
-            if (
-                getattr(train_model, "highpass_impl", None) == "auto"
-                and int(self.mesh.devices.size) > 1
+            if self._highpass_auto and getattr(train_model, "highpass_impl", None) in (
+                "auto",
+                "pallas_sharded",
             ):
-                # Multi-device: pallas_call has no partitioning rule, so a
-                # batch/H-sharded input would be gathered+replicated around
-                # the kernel; the low-rank matmul formulation is fully
-                # XLA-partitionable. Single-device training keeps "auto"
-                # (the Pallas fwd + kernel-backward pair, -8.2 ms/step at
-                # 512^2 vs lowrank, docs/PERF.md). Param trees are identical
-                # either way, so the state is shared.
+                # TRAIN steps pin the XLA low-rank high-pass: repeated
+                # same-run A/B at 512^2 bf16 measures lowrank 236.3-236.9
+                # vs Pallas fwd+bwd kernels 237.6-237.7 ms/step — parity
+                # within noise, and the matmul formulation partitions
+                # natively on any mesh. Inference/eval keep the kernels
+                # ("auto" -> pallas on one chip — measured fwd win — and
+                # the constructor's "pallas_sharded" on multi-device TPU).
+                # A user-set explicit impl is honored unchanged. Param
+                # trees are identical either way; state is shared.
                 train_model = train_model.clone(highpass_impl="lowrank")
             fn = make_train_step(
                 train_model, self.loss_fn, has_bs, self.cfg.donate_buffers,

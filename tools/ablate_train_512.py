@@ -141,8 +141,8 @@ def run_variant(name: str, image: int, batch: int, iters: int, dtype: str) -> fl
         patches.append((E, "interleave_channels", _concat_not_interleave))
     elif name == "bn_frozen":
         train_flag = "frozen"  # train-mode grads but BN in inference mode
-    elif name == "pallas_highpass":
-        pass  # handled below: clone highpass_impl="pallas" instead of lowrank
+    elif name in ("pallas_highpass", "sharded_highpass"):
+        pass  # handled below: clone highpass_impl accordingly
     elif name == "remat":
         pass  # handled below via cfg
     else:
@@ -153,9 +153,12 @@ def run_variant(name: str, image: int, batch: int, iters: int, dtype: str) -> fl
             stack.enter_context(_patched(mod, attr, repl))
 
         trainer, state = _build_state("eelunet", image, batch, dtype)
-        # trainer pins lowrank for train; pallas_highpass measures the kernel
-        # fwd + kernel backward pair instead (fft_pallas._highpass_bwd_pallas)
-        impl = "pallas" if name == "pallas_highpass" else "lowrank"
+        # full = lowrank (XLA); pallas_highpass = kernel fwd+bwd pair;
+        # sharded_highpass = the custom_partitioning-wrapped kernels (checks
+        # the SPMD wrapper costs nothing on one chip).
+        impl = {"pallas_highpass": "pallas", "sharded_highpass": "pallas_sharded"}.get(
+            name, "lowrank"
+        )
         model = trainer.model.clone(highpass_impl=impl)
         the_loss = _main_only_loss(trainer.meta) if loss_fn == "main_only" else trainer.loss_fn
 
