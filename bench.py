@@ -18,8 +18,8 @@ import sys
 import time
 
 IMAGE = 512
-# Headline batch: 16 is the measured single-chip optimum at 512^2 (99.5
-# img/s vs 96.8 @8 and 96.5 @32, docs/PERF.md sweep). Secondary metrics
+# Headline batch: 16 is the measured single-chip optimum at 512^2 (128.1
+# img/s vs 123.6 @8 and 126.8 @32, docs/PERF.md sweep). Secondary metrics
 # keep batch 8 for cross-round comparability.
 BATCH = 16
 DETAIL_BATCH = 8
@@ -110,7 +110,7 @@ def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dty
 
 
 def _measure_slim_eelunet(image: int, batch: int, amount: float = 0.5, iters: int = 20) -> float:
-    """Physically pruned EELUnet forward (prune_physical.py; 1.33x at 512^2)."""
+    """Physically pruned EELUnet forward (prune_physical.py)."""
     import time
 
     import jax

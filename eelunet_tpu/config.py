@@ -126,6 +126,10 @@ class TrainConfig:
                                       # with batch_size/accum_steps; batch_size
                                       # must be divisible by it)
     donate_buffers: bool = True
+    profile_steps: int = 0            # trace this many train steps (skipping the
+                                      # compile step) with jax.profiler into
+                                      # log_dir/<model>/profile — TB-viewable
+                                      # xplane dump (SURVEY.md §5 tracing)
     log_every_steps: int = 50
     resume_from: str = ""             # checkpoint dir to resume full train state from
 

@@ -447,14 +447,15 @@ def evaluate_params(
     if batch_stats:
         variables["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, batch_stats)
 
+    # weights as jit ARGUMENTS, not closure constants (bench.py harness note)
     @jax.jit
-    def step(images, labels):
-        out = model.apply(variables, images, train=False)
+    def step(vs, images, labels):
+        out = model.apply(vs, images, train=False)
         return M.update_metrics(seg_probabilities(out, meta), labels, threshold)
 
     acc = None
     for images, labels in batches:
-        batch_acc = step(images, labels)
+        batch_acc = step(variables, images, labels)
         acc = batch_acc if acc is None else acc + batch_acc
     if acc is None:
         return {k: 0.0 for k in M.METRIC_NAMES}

@@ -173,6 +173,7 @@ class Trainer:
         self._steps: Dict[str, Any] = {}
         self.ckpt = CheckpointManager(cfg.save_dir, cfg.model.name)
         self.best = BestTracker()
+        self._profiled = False
 
     # -- state ---------------------------------------------------------------
     def init_state(self, steps_per_epoch: int = 1) -> TrainState:
@@ -273,10 +274,28 @@ class Trainer:
         step = self._get_step("train", state)
         total = jnp.zeros((), jnp.float32)
         n = 0
-        for images, labels in self._device_batches(loader):
+        # profile_steps > 0: trace steps [1, 1+profile_steps) of the first
+        # epoch (step 0 is the compile) into log_dir/<model>/profile.
+        want_prof = self.cfg.profile_steps if not self._profiled else 0
+        tracing = False
+        for i, (images, labels) in enumerate(self._device_batches(loader)):
+            if want_prof and i == 1:
+                prof_dir = os.path.join(self.cfg.log_dir, self.cfg.model.name, "profile")
+                os.makedirs(prof_dir, exist_ok=True)
+                jax.profiler.start_trace(prof_dir)
+                tracing = True
             state, loss = step(state, images, labels)
             total = total + loss
             n += 1
+            if tracing and i >= want_prof:  # steps 1..want_prof captured
+                float(total)  # drain the chained steps through the tunnel
+                jax.profiler.stop_trace()
+                tracing = False
+                self._profiled = True
+        if tracing:  # epoch shorter than profile window
+            float(total)
+            jax.profiler.stop_trace()
+            self._profiled = True
         return state, float(total) / max(n, 1)
 
     def val_one_epoch(self, state: TrainState, loader) -> float:

@@ -150,6 +150,20 @@ def test_grad_accumulation_bn_model(tmp_path):
         step(state, jnp.zeros((4, 32, 32, 3)), jnp.zeros((4, 32, 32, 1)))
 
 
+def test_profile_steps_writes_trace(tmp_path):
+    """profile_steps=1 traces one post-compile train step into
+    log_dir/<model>/profile (jax.profiler xplane dump, SURVEY.md §5)."""
+    import glob
+
+    cfg = apply_overrides(_tiny_cfg(tmp_path, epochs=1), ["profile_steps=1"])
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    tr, va, te = _loaders()
+    trainer.fit(tr, va, te, log=lambda *a: None)
+    dumps = glob.glob(f"{tmp_path}/runs/unet/profile/**/*.xplane.pb", recursive=True)
+    assert dumps, "no profiler dump written"
+    assert trainer._profiled
+
+
 def test_seed_reproducibility(tmp_path):
     cfg = _tiny_cfg(tmp_path, epochs=1)
     losses = []
