@@ -18,9 +18,23 @@ from eelunet_tpu.registry import create_model, seg_probabilities
 
 
 class Predictor:
-    def __init__(self, model_cfg: ModelConfig, checkpoint: Optional[str] = None, threshold: float = 0.5):
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        checkpoint: Optional[str] = None,
+        threshold: float = 0.5,
+        bucket_batches: bool = True,
+    ):
+        """``bucket_batches`` pads each batch up to the next power of two
+        before the jitted forward and slices the outputs back, so serving
+        traffic with ragged batch sizes compiles at most log2(B_max)
+        executables instead of one per distinct size (XLA recompiles per
+        shape; a 512^2 eelunet compile costs minutes through a remote
+        compile service). Padding rows are zeros; their outputs are
+        discarded."""
         self.model, self.meta = create_model(model_cfg)
         self.threshold = threshold
+        self.bucket_batches = bucket_batches
         sample = jnp.zeros((1, 64, 64, model_cfg.in_channels), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), sample)
         self.params = variables["params"]
@@ -62,7 +76,14 @@ class Predictor:
 
     def predict_proba(self, images: np.ndarray) -> np.ndarray:
         """(B,H,W,3) normalized float images -> (B,H,W,1) probabilities."""
-        return np.asarray(self._forward(self.params, self.batch_stats, jnp.asarray(images)))
+        b = int(images.shape[0])
+        if self.bucket_batches and b > 0:
+            target = 1 << (b - 1).bit_length()  # next power of two
+            if target != b:
+                pad = np.zeros((target - b, *images.shape[1:]), dtype=images.dtype)
+                images = np.concatenate([np.asarray(images), pad], axis=0)
+        out = np.asarray(self._forward(self.params, self.batch_stats, jnp.asarray(images)))
+        return out[:b]
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Binary masks at the configured threshold."""

@@ -11,6 +11,25 @@ from eelunet_tpu.parallel.mesh import create_mesh
 from eelunet_tpu.train.trainer import Trainer
 
 
+def test_predictor_batch_bucketing():
+    """Ragged batch sizes share power-of-two executables (serving traffic
+    must not compile one forward per distinct tail size), and bucketed
+    results equal the unbucketed ones exactly (padding rows discarded)."""
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    flat = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    flat.params = pred.params  # same weights
+    rng = np.random.default_rng(0)
+    x7 = rng.standard_normal((7, 32, 32, 3)).astype(np.float32)
+    for b in (3, 5, 7):
+        got = pred.predict_proba(x7[:b])
+        want = flat.predict_proba(x7[:b])
+        assert got.shape == (b, 32, 32, 1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # sizes 3/5/7 bucket to two executables (batch 4 and batch 8)
+    assert pred._forward._cache_size() == 2
+    assert flat._forward._cache_size() == 3
+
+
 def test_predictor_matches_trainer_eval(tmp_path):
     cfg = apply_overrides(
         TrainConfig(),
