@@ -25,13 +25,17 @@ class Predictor:
         threshold: float = 0.5,
         bucket_batches: bool = True,
     ):
-        """``bucket_batches`` pads each batch up to the next power of two
-        before the jitted forward and slices the outputs back, so serving
-        traffic with ragged batch sizes compiles at most log2(B_max)
-        executables instead of one per distinct size (XLA recompiles per
-        shape; a 512^2 eelunet compile costs minutes through a remote
-        compile service). Padding rows are zeros; their outputs are
-        discarded."""
+        """``bucket_batches`` pads each batch up to a bucket size before the
+        jitted forward and slices the outputs back, so serving traffic with
+        ragged batch sizes shares a bounded set of executables instead of
+        compiling one per distinct size (XLA recompiles per shape; a 512^2
+        eelunet compile costs minutes through a remote compile service).
+        Buckets are the next power of two up to 16, then the next multiple
+        of 16 — bounding padding waste above 16 to <16 rows (a pure
+        power-of-two rule would nearly double compute and peak HBM for a
+        batch of 65). Padding rows are zeros; their outputs are discarded.
+        Disable for fixed-batch pipelines or when every row's latency
+        matters."""
         self.model, self.meta = create_model(model_cfg)
         self.threshold = threshold
         self.bucket_batches = bucket_batches
@@ -70,6 +74,9 @@ class Predictor:
                 dtype=self.model.dtype,
             )
             return
+        from eelunet_tpu.train.checkpoint import warn_if_preformat
+
+        warn_if_preformat(os.path.abspath(checkpoint), type(self.model).__name__.lower())
         tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
         self.params = tree["params"]
         self.batch_stats = tree["batch_stats"]
@@ -78,7 +85,8 @@ class Predictor:
         """(B,H,W,3) normalized float images -> (B,H,W,1) probabilities."""
         b = int(images.shape[0])
         if self.bucket_batches and b > 0:
-            target = 1 << (b - 1).bit_length()  # next power of two
+            # power of two up to 16; multiples of 16 above (<16 rows waste)
+            target = 1 << (b - 1).bit_length() if b <= 16 else -(-b // 16) * 16
             if target != b:
                 pad = np.zeros((target - b, *images.shape[1:]), dtype=images.dtype)
                 images = np.concatenate([np.asarray(images), pad], axis=0)

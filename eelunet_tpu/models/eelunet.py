@@ -177,6 +177,26 @@ def high_pass_fft(x: jnp.ndarray, mask_range: int = 20, impl: str = "auto") -> j
     return high_pass_fft_lowrank(x, mask_range)
 
 
+def migrate_interleaved_checkpoint(params):
+    """Exact migration of EELUnet params trained with the INTERLEAVED bridge
+    (pre-concat, commits before the bridge layout change) to the current
+    concat-ordered bridge.
+
+    The bridge change is a fixed permutation of each dec_i first-conv's
+    input-channel indexing: interleaved cin order [d0,e0,d1,e1,...] becomes
+    [d0..dC-1 | e0..eC-1], so ``conv(interleave(a,b), K_old) ==
+    conv(concat(a,b), K_new)`` with ``K_new = concat(K_old[..., 0::2, :],
+    K_old[..., 1::2, :], axis=-2)``. All other parameters are unaffected.
+    Returns a new param tree; the input is not mutated (tree_map rebuilds
+    the containers; only the four dec kernels are replaced)."""
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    for mod in ("dec1", "dec2", "dec3", "dec4"):
+        leaf = out[mod]["TorchConv_0"]["Conv_0"]
+        k = leaf["kernel"]
+        leaf["kernel"] = jnp.concatenate([k[..., 0::2, :], k[..., 1::2, :]], axis=-2)
+    return out
+
+
 class PredictionGuidedRefinement(nn.Module):
     """1x1 head -> gate features with sigmoid(gt_pre) (EELUnet.py:194-203)."""
 

@@ -20,6 +20,39 @@ import orbax.checkpoint as ocp
 
 BEST_METRICS = ("iou", "dice", "miou", "mdice", "boundary_f1")
 
+# Sidecar format marker written into every checkpoint dir. Format 2 =
+# concat-ordered EELUnet skip bridge (models/eelunet.py layout note);
+# eelunet checkpoints WITHOUT the marker predate the bridge change and
+# their dec-conv weights use the interleaved cin order — loading them
+# unmigrated produces wrong outputs with no shape error.
+FORMAT_META = {"format": 2, "eelunet_bridge": "concat"}
+_META_FILE = "framework_meta.json"
+
+_INTERLEAVE_WARNING = (
+    "checkpoint %s has no framework_meta.json: if it was trained before the "
+    "concat-ordered bridge (format 2), its dec-conv weights use the "
+    "interleaved input-channel order and predictions will be wrong. Migrate "
+    "exactly with eelunet_tpu.models.eelunet.migrate_interleaved_checkpoint "
+    "and re-save."
+)
+
+
+def write_format_meta(path: str) -> None:
+    import json
+
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(FORMAT_META, f)
+
+
+def warn_if_preformat(path: str, model_name: str) -> bool:
+    """Warn (and return True) for eelunet checkpoints lacking the marker."""
+    if model_name == "eelunet" and not os.path.exists(os.path.join(path, _META_FILE)):
+        import warnings
+
+        warnings.warn(_INTERLEAVE_WARNING % path, stacklevel=3)
+        return True
+    return False
+
 
 class CheckpointManager:
     def __init__(self, save_dir: str, model_name: str):
@@ -44,10 +77,12 @@ class CheckpointManager:
         """Save to an explicit directory path (outside the tag namespace)."""
         self._ckptr.save(path, self._state_tree(state), force=force)
         self._ckptr.wait_until_finished()
+        write_format_meta(path)
         return path
 
     def restore(self, path: str, state_template):
         """Restore into the structure of ``state_template`` (a TrainState)."""
+        warn_if_preformat(path, self.model_name)
         tree = self._ckptr.restore(path, target=self._state_tree(state_template))
         return state_template.replace(
             params=tree["params"],
@@ -60,6 +95,7 @@ class CheckpointManager:
     def restore_params(self, path: str, state_template):
         """Weights-only restore (reference load_state_dict semantics,
         evaluate.py:172-176)."""
+        warn_if_preformat(path, self.model_name)
         tree = self._ckptr.restore(path, target=self._state_tree(state_template))
         return state_template.replace(params=tree["params"], batch_stats=tree["batch_stats"])
 

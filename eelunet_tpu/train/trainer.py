@@ -160,7 +160,15 @@ class Trainer:
                 # H-sharded activations: the low-rank matmul high-pass is
                 # XLA-partitionable; a pallas_call would be gathered+replicated.
                 model_cfg = dataclasses.replace(model_cfg, highpass_impl="lowrank")
-            elif int(self.mesh.devices.size) > 1 and jax.default_backend() == "tpu":
+            elif (
+                int(self.mesh.devices.size) > 1
+                and jax.default_backend() == "tpu"
+                and getattr(model_cfg, "dtype", None) == "bfloat16"
+            ):
+                # bf16 models only — mirrors the "auto" dispatch gate. f32
+                # models keep the lowrank path, whose matmuls pin
+                # Precision.HIGHEST (TPU f32 matmuls otherwise run as bf16
+                # MXU passes; the kernels don't pin precision).
                 # Batch-sharded multi-device eval/inference: the
                 # custom_partitioning wrapper keeps the Pallas kernels on
                 # local shards (a bare pallas_call has no partitioning rule

@@ -114,6 +114,70 @@ def test_resume_auto(tmp_path):
     assert int(state2.step) > step0
 
 
+def test_checkpoint_format_marker_and_preformat_warning(tmp_path):
+    """New checkpoints carry framework_meta.json; restoring an eelunet
+    checkpoint WITHOUT it (pre-concat-bridge era) warns about the
+    interleaved-cin incompatibility instead of silently mis-predicting."""
+    import warnings
+
+    cfg = _tiny_cfg(tmp_path, epochs=1)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    state = trainer.init_state(steps_per_epoch=2)
+    path = trainer.ckpt.save("marker_test", state)
+    assert os.path.exists(os.path.join(path, "framework_meta.json"))
+
+    from eelunet_tpu.train.checkpoint import warn_if_preformat
+
+    # marker present, or non-eelunet model: no warning
+    assert not warn_if_preformat(path, "eelunet")
+    os.remove(os.path.join(path, "framework_meta.json"))
+    assert not warn_if_preformat(path, "unet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert warn_if_preformat(path, "eelunet")
+    assert any("migrate_interleaved_checkpoint" in str(x.message) for x in w)
+
+
+def test_migrate_interleaved_checkpoint_exact():
+    """conv(interleave(a,b), K_old) == conv(concat(a,b), K_migrated) — the
+    bridge-layout migration must be exact for every dec stage."""
+    import jax
+    import jax.numpy as jnp
+
+    from eelunet_tpu.models.eelunet import migrate_interleaved_checkpoint
+    from eelunet_tpu.nn.layers import interleave_channels
+
+    rng = np.random.default_rng(0)
+    c = 8
+    params = {
+        f"dec{i}": {
+            "TorchConv_0": {
+                "Conv_0": {
+                    "kernel": jnp.asarray(
+                        rng.standard_normal((3, 3, 2 * c, 4)), jnp.float32
+                    ),
+                    "bias": jnp.zeros((4,), jnp.float32),
+                }
+            }
+        }
+        for i in (1, 2, 3, 4)
+    }
+    migrated = migrate_interleaved_checkpoint(params)
+    a = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers((2, 8, 8, 2 * c), (3, 3, 2 * c, 4), ("NHWC", "HWIO", "NHWC"))
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(x, k, (1, 1), "SAME", dimension_numbers=dn)
+
+    for i in (1, 2, 3, 4):
+        k_old = params[f"dec{i}"]["TorchConv_0"]["Conv_0"]["kernel"]
+        k_new = migrated[f"dec{i}"]["TorchConv_0"]["Conv_0"]["kernel"]
+        want = conv(interleave_channels(a, b), k_old)
+        got = conv(jnp.concatenate([a, b], axis=-1), k_new)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_grad_accumulation_matches_full_batch(tmp_path):
     """accum_steps=4 must follow the accum_steps=1 trajectory: every loss is a
     mean of per-sample terms, so micro-batch grad means == full-batch grads

@@ -3,9 +3,11 @@
 Breaks the EELUnet train step (fwd+bwd+Adam+BN, bf16, batch 8) into
 attributable components by swapping one piece at a time and re-measuring the
 whole step. Components are swapped by monkeypatching the model's module-level
-seams (high_pass_fft / shifted_channel / interleave_channels), overriding the
-loss, or rebuilding the optimizer — param shapes stay identical across all
-variants so each one is a clean recompile of the same state.
+seams (high_pass_fft / shifted_channel), overriding the loss, rebuilding the
+optimizer, or cloning the high-pass impl — param shapes stay identical across
+all variants so each one is a clean recompile of the same state. (The
+historical concat_skip variant is gone: the model is concat-native now,
+docs/PERF.md bridge measurement.)
 
 Timing protocol (see docs/PERF.md "measurement hazards"): steps chain through
 the donated TrainState and a device-scalar loss accumulator; ONE final host
@@ -72,12 +74,6 @@ def _identity_shift(x, shift_ratio=0.25):
     return x
 
 
-def _concat_not_interleave(a, b):
-    import jax.numpy as jnp
-
-    return jnp.concatenate([a, b], axis=-1)
-
-
 def _main_only_loss(meta):
     """BceDice on the main output only — removes the 5-scale deep-supervision
     pyramid (Loss.py:102-113 equivalent) from fwd AND bwd."""
@@ -137,14 +133,12 @@ def run_variant(name: str, image: int, batch: int, iters: int, dtype: str) -> fl
         patches.append((E, "high_pass_fft", _identity_highpass))
     elif name == "no_shift":
         patches.append((E, "shifted_channel", _identity_shift))
-    elif name == "concat_skip":
-        patches.append((E, "interleave_channels", _concat_not_interleave))
     elif name == "bn_frozen":
         train_flag = "frozen"  # train-mode grads but BN in inference mode
     elif name in ("pallas_highpass", "sharded_highpass"):
         pass  # handled below: clone highpass_impl accordingly
     elif name == "remat":
-        pass  # handled below via cfg
+        pass  # remat=True wired into make_train_step below
     else:
         raise SystemExit(f"unknown variant {name}")
 
@@ -206,7 +200,10 @@ def run_variant(name: str, image: int, batch: int, iters: int, dtype: str) -> fl
             float(loss)
             return (time.perf_counter() - t0) / iters * 1e3
         else:
-            step = T.make_train_step(model, the_loss, has_batch_stats=True, donate=True)
+            step = T.make_train_step(
+                model, the_loss, has_batch_stats=True, donate=True,
+                remat=(name == "remat"),
+            )
 
         return measure_step(step, state, images, labels, iters)
 
@@ -234,8 +231,9 @@ DEFAULT_VARIANTS = (
     "loss_main_only",
     "no_highpass",
     "no_shift",
-    "concat_skip",
     "bn_frozen",
+    "remat",
+    "pallas_highpass",
 )
 
 
