@@ -142,6 +142,32 @@ def test_spatial_training_matches_single_device(tmp_path):
     np.testing.assert_allclose(histories[0], histories[1], rtol=2e-4)
 
 
+def test_trainer_highpass_policy(tmp_path, monkeypatch):
+    """Constructor policy: spatial meshes pin lowrank; multi-device TPU
+    meshes select the sharded kernels for bf16 models ONLY (f32 keeps the
+    lowrank path whose matmuls pin Precision.HIGHEST); CPU keeps 'auto'."""
+    ee = ["model.name=eelunet"]
+
+    # multi-device CPU: no clone — "auto" resolves to lowrank at dispatch
+    tr = Trainer(_cfg(tmp_path, overrides=ee), mesh=create_mesh(-1, 1))
+    assert tr.model.highpass_impl == "auto"
+
+    # pretend we're on TPU: bf16 -> pallas_sharded, f32 -> stays auto
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    tr_bf16 = Trainer(
+        _cfg(tmp_path, overrides=ee + ["model.dtype=bfloat16"]), mesh=create_mesh(-1, 1)
+    )
+    assert tr_bf16.model.highpass_impl == "pallas_sharded"
+    tr_f32 = Trainer(_cfg(tmp_path, overrides=ee), mesh=create_mesh(-1, 1))
+    assert tr_f32.model.highpass_impl == "auto"
+    # single device: no clone even on TPU (plain pallas via dispatch)
+    tr_one = Trainer(
+        _cfg(tmp_path, overrides=ee + ["model.dtype=bfloat16"]),
+        mesh=create_mesh(1, 1, devices=jax.devices()[:1]),
+    )
+    assert tr_one.model.highpass_impl == "auto"
+
+
 def test_spatial_training_eelunet_runs(tmp_path):
     """EELUnet under spatial sharding: exercises the FFT high-pass (pinned to
     the XLA low-rank path by the trainer), token-MLPs and SE global pools

@@ -178,6 +178,49 @@ def test_migrate_interleaved_checkpoint_exact():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_cli_migrate_interleaved_checkpoint(tmp_path):
+    """cli.migrate round-trip: un-permute HEAD params into interleave-era
+    order, save without the format marker, migrate, and recover the
+    original params exactly (marker written on the output)."""
+    import jax.numpy as jnp
+
+    from eelunet_tpu.cli import migrate as cli_migrate
+
+    cfg = _tiny_cfg(tmp_path, model="eelunet", epochs=1)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    state = trainer.init_state(steps_per_epoch=1)
+
+    def unmigrate(params):
+        out = jax.tree_util.tree_map(lambda x: x, params)
+        for mod in ("dec1", "dec2", "dec3", "dec4"):
+            leaf = out[mod]["TorchConv_0"]["Conv_0"]
+            k = leaf["kernel"]
+            c = k.shape[-2] // 2
+            kn = jnp.zeros_like(k)
+            kn = kn.at[..., 0::2, :].set(k[..., :c, :])
+            kn = kn.at[..., 1::2, :].set(k[..., c:, :])
+            leaf["kernel"] = kn
+        return out
+
+    old_path = str(tmp_path / "old_ckpt")
+    trainer.ckpt.save_to(old_path, state.replace(params=unmigrate(state.params)))
+    os.remove(os.path.join(old_path, "framework_meta.json"))  # simulate pre-format era
+
+    new_path = str(tmp_path / "migrated_ckpt")
+    cli_migrate.main(["--checkpoint", old_path, "--out", new_path])
+    assert os.path.exists(os.path.join(new_path, "framework_meta.json"))
+
+    restored = trainer.ckpt.restore(new_path, state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params), jax.tree_util.tree_leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # already-migrated checkpoints are refused
+    with pytest.raises(SystemExit, match="needs no migration"):
+        cli_migrate.main(["--checkpoint", new_path, "--out", str(tmp_path / "x")])
+
+
 def test_grad_accumulation_matches_full_batch(tmp_path):
     """accum_steps=4 must follow the accum_steps=1 trajectory: every loss is a
     mean of per-sample terms, so micro-batch grad means == full-batch grads
