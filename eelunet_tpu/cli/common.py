@@ -50,22 +50,41 @@ def load_config(args) -> TrainConfig:
     return apply_overrides(cfg, ov)
 
 
+def wants_raw_images(d) -> bool:
+    """True when a device-side augmentation is enabled — the host dataset then
+    yields raw [0,1] RGB and normalization moves into the augment chain
+    (data/augment.make_augment_fn)."""
+    return bool(d.add_canny_edge or d.canny_enhance)
+
+
+def make_folder_dataset(d, split: str) -> SegmentationFolderDataset:
+    """Dataset for one split, honoring the augmentation flags' raw-image
+    requirement. Used by every CLI so the flags behave identically in
+    train/evaluate/predict."""
+    return SegmentationFolderDataset(
+        d.data_dir, split, d.image_size, d.normalize_mean, d.normalize_std,
+        normalize=not wants_raw_images(d),
+    )
+
+
 def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]:
     """train/val/test loaders with the reference's 90/10 split of the train
     dir and a separate test dir (train.py:255-265)."""
     d = cfg.data
     if d.packed:
+        if wants_raw_images(d):
+            raise ValueError(
+                "add_canny_edge/canny_enhance need raw images, but packed "
+                "datasets store normalized tensors (cli.pack). Re-pack is not "
+                "supported; use the PNG tree (data.packed=false)."
+            )
         from eelunet_tpu.data.packed import PackedDataset
 
         full = PackedDataset(d.data_dir, "train", d.normalize_mean, d.normalize_std)
         test = PackedDataset(d.data_dir, "test", d.normalize_mean, d.normalize_std)
     else:
-        full = SegmentationFolderDataset(
-            d.data_dir, "train", d.image_size, d.normalize_mean, d.normalize_std
-        )
-        test = SegmentationFolderDataset(
-            d.data_dir, "test", d.image_size, d.normalize_mean, d.normalize_std
-        )
+        full = make_folder_dataset(d, "train")
+        test = make_folder_dataset(d, "test")
     seed = cfg.seed if cfg.seed is not None else 0
     tr_idx, va_idx = train_val_split(len(full), d.val_fraction, seed)
     mk = lambda ds, idx, shuffle: DataLoader(

@@ -7,8 +7,7 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
-from eelunet_tpu.cli.common import base_parser, load_config
-from eelunet_tpu.data.dataset import SegmentationFolderDataset
+from eelunet_tpu.cli.common import base_parser, load_config, make_folder_dataset
 from eelunet_tpu.data.pipeline import DataLoader
 from eelunet_tpu.parallel.mesh import create_mesh
 from eelunet_tpu.train.trainer import Trainer
@@ -22,7 +21,7 @@ def main(argv=None):
     cfg = load_config(args)
 
     d = cfg.data
-    ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
+    ds = make_folder_dataset(d, args.split)
     # Never drop tail samples during evaluation — metrics must cover the
     # whole split (the reference's loader doesn't drop either, evaluate.py:147).
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
@@ -30,6 +29,13 @@ def main(argv=None):
     from eelunet_tpu.prune_physical import evaluate_params, is_slim_checkpoint, load_slim
 
     if args.checkpoint and is_slim_checkpoint(args.checkpoint):
+        from eelunet_tpu.cli.common import wants_raw_images
+
+        if wants_raw_images(d):
+            raise ValueError(
+                "add_canny_edge/canny_enhance are not supported on the slim "
+                "(physically pruned) evaluate path; evaluate the dense model."
+            )
         # Physically pruned unet: rebuild the slim module from widths.json.
         import jax.numpy as jnp
 

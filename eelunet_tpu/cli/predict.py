@@ -15,8 +15,7 @@ from datetime import datetime
 import jax
 import numpy as np
 
-from eelunet_tpu.cli.common import base_parser, load_config
-from eelunet_tpu.data.dataset import SegmentationFolderDataset
+from eelunet_tpu.cli.common import base_parser, load_config, make_folder_dataset
 from eelunet_tpu.data.pipeline import DataLoader, prefetch_to_device
 from eelunet_tpu.parallel.mesh import create_mesh
 from eelunet_tpu.registry import seg_probabilities
@@ -61,14 +60,20 @@ def main(argv=None):
         params, batch_stats = state.params, state.batch_stats
 
     d = cfg.data
-    ds = SegmentationFolderDataset(d.data_dir, args.split, d.image_size, d.normalize_mean, d.normalize_std)
+    ds = make_folder_dataset(d, args.split)
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
+
+    from eelunet_tpu.data.augment import make_augment_fn
+
+    augment = make_augment_fn(d)
 
     out_dir = os.path.join(args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit
     def forward(params, batch_stats, images):
+        if augment is not None:
+            images = augment(images)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

@@ -8,7 +8,10 @@ the host->device transfer. Both transforms are off by default, matching the
 commented-out call sites (ToothDataset.py:52-55).
 
 Note: the transforms operate on *unnormalized* [0,1] RGB; apply them before
-ImageNet normalization (the wrapper below handles the ordering).
+ImageNet normalization. ``make_augment_fn`` builds the full device-side input
+chain (augment -> normalize) from a DataConfig; when either flag is on, the
+host datasets are built with ``normalize=False`` (cli/common.py) and the
+trainer/predictor run this chain right after the host->device transfer.
 """
 
 from __future__ import annotations
@@ -62,3 +65,35 @@ def normalize_imagenet(
     m = jnp.asarray(mean, images.dtype).reshape(1, 1, 1, -1)
     s = jnp.asarray(std, images.dtype).reshape(1, 1, 1, -1)
     return (images - m) / s
+
+
+def make_augment_fn(data_cfg):
+    """Build the jitted device-side input chain for a DataConfig, or None.
+
+    Returns a function (N,H,W,3) raw [0,1] RGB -> model-ready input:
+    canny_enhance blend, then the AddCannyEdge 4th channel, then ImageNet
+    normalization of the RGB channels. The edge channel stays unnormalized —
+    it is already a {0,1} map (the reference normalizes with 3-channel stats,
+    ToothDataset.py:58-61, so a 4th channel was never normalizable there
+    either; divergence documented in README.md).
+    """
+    enhance = bool(data_cfg.canny_enhance)
+    add_edge = bool(data_cfg.add_canny_edge)
+    if not (enhance or add_edge):
+        return None
+    alpha = float(data_cfg.canny_enhance_alpha)
+    mean = tuple(data_cfg.normalize_mean)
+    std = tuple(data_cfg.normalize_std)
+
+    @jax.jit
+    def augment(images: jnp.ndarray) -> jnp.ndarray:
+        if enhance:
+            images = canny_enhance(images, alpha)
+        if add_edge:
+            images = add_canny_edge(images)
+        rgb = normalize_imagenet(images[..., :3], mean, std)
+        if add_edge:
+            return jnp.concatenate([rgb, images[..., 3:]], axis=-1)
+        return rgb
+
+    return augment

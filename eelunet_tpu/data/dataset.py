@@ -37,6 +37,7 @@ class SegmentationFolderDataset:
         image_size: Tuple[int, int] = (256, 256),
         normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
+        normalize: bool = True,
     ):
         if not _HAS_PIL:
             raise RuntimeError("PIL is required for SegmentationFolderDataset")
@@ -53,6 +54,11 @@ class SegmentationFolderDataset:
         self.image_size = tuple(image_size)
         self.mean = np.asarray(normalize_mean, np.float32)
         self.std = np.asarray(normalize_std, np.float32)
+        # normalize=False defers ImageNet normalization to the device — the
+        # Canny augmentations operate on raw [0,1] RGB first, matching the
+        # reference's transform order (ToothDataset.py:52-61: augment, then
+        # normalize). data/augment.make_augment_fn normalizes afterwards.
+        self.normalize = normalize
 
     def __len__(self) -> int:
         return len(self.image_files)
@@ -67,7 +73,8 @@ class SegmentationFolderDataset:
         img = img.resize((w, h), Image.BILINEAR)
         mask = mask.resize((w, h), Image.BILINEAR)
         x = np.asarray(img, np.float32) / 255.0            # (H, W, 3)
-        x = (x - self.mean) / self.std                     # ToothDataset.py:60
+        if self.normalize:
+            x = (x - self.mean) / self.std                 # ToothDataset.py:60
         y = (np.asarray(mask, np.float32) / 255.0)[..., None]  # (H, W, 1)
         return x, y
 

@@ -147,7 +147,18 @@ class Trainer:
     """End-to-end training driver (reference train() train.py:87-214)."""
 
     def __init__(self, cfg: TrainConfig, mesh=None):
+        if cfg.data.add_canny_edge and cfg.model.in_channels == 3:
+            # AddCannyEdge appends a 4th input channel (AddCannyEdge.py:8-41);
+            # bump in_channels so the init sample and first conv agree.
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, in_channels=4)
+            )
         self.cfg = cfg
+        from eelunet_tpu.data.augment import make_augment_fn
+
+        self._augment = make_augment_fn(cfg.data)
         self.mesh = mesh if mesh is not None else create_mesh(
             cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis
         )
@@ -272,7 +283,13 @@ class Trainer:
             # if image height doesn't divide the spatial axis.
             divisible = batch[0].shape[0] % n_data == 0 and batch[0].shape[1] % n_sp == 0
             sharding = bs if divisible else rep
-            return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tuple(batch))
+            out = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tuple(batch))
+            if self._augment is not None:
+                # Device-side augmentation chain (canny enhance/edge channel +
+                # ImageNet normalize) on the raw [0,1] batch; jitted, so it
+                # fuses with the sharding layout instead of running on host.
+                out = (self._augment(out[0]),) + out[1:]
+            return out
 
         return prefetch_to_device(
             map(shard_or_replicate, loader), depth=self.cfg.data.prefetch_depth, sharding=None
