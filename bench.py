@@ -66,11 +66,25 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
         return s
 
     n_arr = jnp.arange(iters, dtype=jnp.float32)
-    float(run_n(variables, x, n_arr))  # compile + warm
+    # AOT-compile so the SAME executable also yields XLA's static memory
+    # analysis (peak HBM estimate) without a second compile.
+    compiled = run_n.lower(variables, x, n_arr).compile()
+    mem = None
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "argument_bytes": int(ma.argument_size_in_bytes),
+            "output_bytes": int(ma.output_size_in_bytes),
+            "temp_bytes": int(ma.temp_size_in_bytes),
+            "peak_hbm_estimate_bytes": int(ma.argument_size_in_bytes + ma.temp_size_in_bytes + ma.output_size_in_bytes),
+        }
+    except Exception:
+        pass
+    float(compiled(variables, x, n_arr))  # warm
     t0 = time.perf_counter()
-    float(run_n(variables, x, n_arr))
+    float(compiled(variables, x, n_arr))
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * iters / dt, mem
 
 
 def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dtype: str = "bfloat16") -> float:
@@ -149,7 +163,7 @@ def _cpu_baseline() -> float:
             return json.load(f)["images_per_sec"]
     code = (
         "import json,sys;sys.path.insert(0, %r);import bench;"
-        "print(json.dumps({'images_per_sec': bench._measure('eelunet', %d, 1, %d, 1, 'float32')}))"
+        "print(json.dumps({'images_per_sec': bench._measure('eelunet', %d, 1, %d, 1, 'float32')[0]}))"
         % (os.path.dirname(os.path.abspath(__file__)), IMAGE, CPU_ITERS)
     )
     # Scrub the axon sitecustomize/remote-compile hooks: they break the pure
@@ -172,8 +186,26 @@ def _cpu_baseline() -> float:
 
 def main():
     detail = {}
-    tpu_ips = _measure("eelunet", IMAGE, BATCH, ITERS, WARMUP, "bfloat16")
+    tpu_ips, mem = _measure("eelunet", IMAGE, BATCH, ITERS, WARMUP, "bfloat16")
     detail[f"eelunet_{IMAGE}_bf16"] = tpu_ips
+    if mem:
+        detail[f"eelunet_{IMAGE}_bf16_memory"] = mem
+
+    # FLOPs / MFU accounting (utils/flops.py): analytic conv+dot FLOPs per
+    # image, utilization against the chip's dense-bf16 peak.
+    try:
+        import jax
+
+        from eelunet_tpu.utils.flops import mfu_pct, model_forward_flops
+
+        fpi = model_forward_flops("eelunet", IMAGE, batch=1)
+        kind = jax.devices()[0].device_kind
+        detail["device_kind"] = kind
+        detail["flops_per_image"] = fpi
+        m = mfu_pct(tpu_ips, fpi, kind)
+        detail["mfu_pct"] = round(m, 2) if m is not None else None
+    except Exception as e:
+        print(f"flops accounting failed: {e}", file=sys.stderr)
     try:
         cpu_ips = _cpu_baseline()
     except Exception as e:  # CPU baseline is best-effort
@@ -187,7 +219,7 @@ def main():
     if os.environ.get("BENCH_FULL") == "1":
         for name in ("unet", "egeunet", "unext", "malunet"):
             try:
-                detail[f"{name}_256_bf16"] = _measure(name, 256, DETAIL_BATCH, 10, 2, "bfloat16")
+                detail[f"{name}_256_bf16"] = _measure(name, 256, DETAIL_BATCH, 10, 2, "bfloat16")[0]
             except Exception as e:
                 detail[f"{name}_256_bf16"] = f"error: {e}"
         try:

@@ -87,9 +87,18 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
         test = make_folder_dataset(d, "test")
     seed = cfg.seed if cfg.seed is not None else 0
     tr_idx, va_idx = train_val_split(len(full), d.val_fraction, seed)
+    # Multi-host: the train loader yields this process's slice of each global
+    # batch (same shuffled order on every host — seed must be synced, see
+    # cli.train). Val/test loaders stay unsharded: every host runs the full
+    # split on replicated batches, so tail batches and metric sums are exact
+    # without cross-host reassembly.
+    from eelunet_tpu.parallel.distributed import process_shard_spec
+
     mk = lambda ds, idx, shuffle: DataLoader(
         ds, d.batch_size, shuffle=shuffle, seed=seed,
-        drop_remainder=d.drop_remainder and shuffle, num_workers=d.num_workers, indices=idx,
+        drop_remainder=(d.drop_remainder and shuffle) or (shuffle and process_shard_spec() is not None),
+        num_workers=d.num_workers, indices=idx,
+        process_shard=process_shard_spec() if shuffle else None,
     )
     return (
         mk(full, tr_idx, True),

@@ -44,25 +44,42 @@ def main(argv=None):
     args.set = list(args.set) + ov
     cfg = load_config(args)
 
-    if cfg.seed is None:
-        seed = int(np.random.randint(0, 10000))
-        print(f"Using seed: {seed}")  # reference set_seed (train.py:24-27)
+    # Multi-host: wire the processes together FIRST (before any jax.devices()
+    # call caches the local backend), then resolve one seed for all hosts —
+    # the per-process batch slices only partition the global batch if every
+    # host shuffles in the same order (SURVEY.md §2.8 comm-backend plan).
+    from eelunet_tpu.parallel.distributed import init_distributed, is_primary, sync_seed
+
+    distributed = init_distributed()
+    say = print if is_primary() else (lambda *a, **k: None)
+    if distributed:
+        import jax
+
+        say(
+            f"Distributed runtime: {jax.process_count()} processes, "
+            f"{len(jax.devices())} devices total"
+        )
+
+    if cfg.seed is None or distributed:
+        seed = sync_seed(cfg.seed)
+        if cfg.seed is None:
+            say(f"Using seed: {seed}")  # reference set_seed (train.py:24-27)
         from eelunet_tpu.config import apply_overrides
 
         cfg = apply_overrides(cfg, [f"seed={seed}"])
 
-    print(config_to_json(cfg))
+    say(config_to_json(cfg))
     mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
-    print(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
+    say(f"Mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
 
     trainer = Trainer(cfg, mesh=mesh)
     if args.summary:
         from eelunet_tpu.utils.summary import model_summary
 
         h, w = cfg.data.image_size
-        print(model_summary(trainer.model, (1, h, w, cfg.model.in_channels)))
+        say(model_summary(trainer.model, (1, h, w, cfg.model.in_channels)))
     train_loader, val_loader, test_loader = build_loaders(cfg)
-    print(f"Criterion: {trainer.loss_name}")
+    say(f"Criterion: {trainer.loss_name}")
     trainer.fit(train_loader, val_loader, test_loader)
 
 

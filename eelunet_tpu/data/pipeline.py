@@ -37,6 +37,7 @@ class DataLoader:
         drop_remainder: bool = True,
         num_workers: int = 4,
         indices: Optional[np.ndarray] = None,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +47,25 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
         self._epoch = 0
+        # Multi-host data feed: process_shard=(pid, pcount) makes this loader
+        # yield only this process's contiguous slice of every global batch —
+        # rows [pid*B/pc, (pid+1)*B/pc). All processes iterate the SAME global
+        # index order (seed+epoch-keyed shuffle), so slices are disjoint and
+        # exhaustive; jax.make_array_from_process_local_data reassembles the
+        # global batch on the mesh (parallel/distributed.assemble_global_batch).
+        # Requires drop_remainder (static local shapes; no ambiguous tails).
+        if process_shard is not None:
+            pid, pc = process_shard
+            if not (0 <= pid < pc):
+                raise ValueError(f"process_shard index {pid} out of range for {pc}")
+            if pc > 1:
+                if not drop_remainder:
+                    raise ValueError("process_shard requires drop_remainder=True")
+                if batch_size % pc:
+                    raise ValueError(f"batch_size {batch_size} not divisible by {pc} processes")
+            else:
+                process_shard = None
+        self.process_shard = process_shard
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -65,11 +85,24 @@ class DataLoader:
         def fetch(i):
             return self.dataset[int(i)]
 
+        if self.process_shard is not None:
+            # Keep only this process's slice of each global batch; only those
+            # rows are ever decoded.
+            pid, pc = self.process_shard
+            k = self.batch_size // pc
+            order = np.concatenate([
+                order[b * self.batch_size + pid * k : b * self.batch_size + (pid + 1) * k]
+                for b in range(nb)
+            ]) if nb else order[:0]
+            local_bs = k
+        else:
+            local_bs = self.batch_size
+
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # Submit everything; batches complete roughly in order.
-            futures = [pool.submit(fetch, i) for i in order[: nb * self.batch_size if self.drop_remainder else None]]
+            futures = [pool.submit(fetch, i) for i in order[: nb * local_bs if self.drop_remainder else None]]
             for b in range(nb):
-                chunk = futures[b * self.batch_size : (b + 1) * self.batch_size]
+                chunk = futures[b * local_bs : (b + 1) * local_bs]
                 samples = [f.result() for f in chunk]
                 xs = np.stack([s[0] for s in samples])
                 ys = np.stack([s[1] for s in samples])

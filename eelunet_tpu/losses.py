@@ -9,7 +9,7 @@ data-dependent Python control flow).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,12 +127,20 @@ def focal_loss(pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.25, gamm
     return jnp.mean(alpha * (1.0 - pt) ** gamma * bce)
 
 
+def chamfer_points_budget(h: int, w: int) -> int:
+    """Default top-k point budget for ``chamfer_loss``: scales with the
+    perimeter (edge pixel counts grow ~O(h+w) for smooth contours), floored at
+    1024 so small maps are always exact. 64^2 -> 1024, 512^2 -> 2048,
+    1024^2 -> 4096 (a 4096^2 f32 distance matrix is 64 MiB/sample)."""
+    return min(h * w, max(1024, 2 * (h + w)))
+
+
 def chamfer_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     threshold: float = 0.5,
     squared: bool = False,
-    max_points: int = 1024,
+    max_points: Optional[int] = None,
 ) -> jnp.ndarray:
     """Normalized bidirectional Chamfer distance between binary edge maps.
 
@@ -142,13 +150,21 @@ def chamfer_loss(
     strongest pixels via top_k (a fixed-shape op); masked distances make absent
     points inert. Samples with no edge pixels on either side contribute 0, as
     in the reference (Loss.py:268-269).
+
+    TRUNCATION BOUND: a map with more than ``max_points`` above-threshold
+    pixels contributes only its k strongest (ties broken by flat index —
+    deterministic but arbitrary on binary maps), so the result then DIVERGES
+    from the reference's dense computation. ``max_points=None`` scales the
+    budget with resolution (``chamfer_points_budget``), which covers typical
+    contour maps; pass an explicit budget (or verify against
+    ``chamfer_loss_dense``) for pathologically dense edge maps.
     """
     if pred.ndim == 4:
         pred = pred[..., 0]
         target = target[..., 0]
     b, h, w = pred.shape
     n = h * w
-    k = min(max_points, n)
+    k = min(max_points, n) if max_points is not None else chamfer_points_budget(h, w)
 
     ys = (jnp.arange(n, dtype=jnp.float32) // w) / (h - 1)
     xs = (jnp.arange(n, dtype=jnp.float32) % w) / (w - 1)
@@ -183,6 +199,35 @@ def chamfer_loss(
     any_pair = (jnp.sum(p_valid, 1) > 0) & (jnp.sum(t_valid, 1) > 0)
     sample = jnp.where(any_pair, masked_mean(min_p, p_valid) + masked_mean(min_t, t_valid), 0.0)
     return jnp.mean(sample)
+
+
+def chamfer_loss_dense(pred_np, target_np, threshold: float = 0.5, squared: bool = False):
+    """Host-side EXACT dense Chamfer over all edge pixels — the reference's
+    per-sample computation (Loss.py:242-297) in numpy, dynamic shapes and all.
+    Golden oracle for ``chamfer_loss``'s truncation bound; not jittable.
+    """
+    import numpy as np
+
+    pred_np = np.asarray(pred_np)
+    target_np = np.asarray(target_np)
+    if pred_np.ndim == 4:
+        pred_np = pred_np[..., 0]
+        target_np = target_np[..., 0]
+    b, h, w = pred_np.shape
+    out = []
+    for i in range(b):
+        py, px = np.nonzero(pred_np[i] > threshold)
+        ty, tx = np.nonzero(target_np[i] > threshold)
+        if len(py) == 0 or len(ty) == 0:
+            out.append(0.0)  # Loss.py:268-269
+            continue
+        p = np.stack([py / (h - 1), px / (w - 1)], -1)
+        t = np.stack([ty / (h - 1), tx / (w - 1)], -1)
+        d = np.sqrt(((p[:, None, :] - t[None, :, :]) ** 2).sum(-1) + 1e-12)
+        if squared:
+            d = d * d
+        out.append(d.min(1).mean() + d.min(0).mean())
+    return float(np.mean(out))
 
 
 def compute_distance_map(target_np):

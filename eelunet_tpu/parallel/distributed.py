@@ -49,5 +49,49 @@ def process_index() -> int:
 
 
 def is_primary() -> bool:
-    """Host 0 — the only process that should write checkpoints/logs."""
+    """Host 0 — the only process that should write logs/history. (Orbax
+    checkpoint saves stay collective: every process calls save() and orbax's
+    own multihost protocol elects the writer.)"""
     return jax.process_index() == 0
+
+
+def sync_seed(seed: Optional[int]) -> int:
+    """Resolve a training seed that is identical on every process.
+
+    The shuffle order must match across hosts for the per-process batch
+    slices to partition each global batch (data/pipeline.DataLoader
+    process_shard). A None seed is drawn on host 0 and broadcast.
+    """
+    import numpy as np
+
+    if seed is None:
+        seed = int(np.random.randint(0, 10000))
+    if jax.process_count() == 1:
+        return seed
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.broadcast_one_to_all(jax.numpy.int32(seed)))
+
+
+def assemble_global_batch(array, sharding):
+    """Place one process-local numpy batch onto the mesh as a global array.
+
+    Single-process: plain ``device_put`` (unchanged fast path). Multi-process:
+    ``jax.make_array_from_process_local_data`` — works uniformly for both
+    cases we feed it: a 'data'-sharded batch (each process holds its
+    contiguous slice of the global batch) and a fully-replicated batch (each
+    process holds the complete array, e.g. eval loaders, which are not
+    process-sharded — every host evaluates the full split so tail batches and
+    metric sums need no cross-host reassembly).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    import numpy as np
+
+    return jax.make_array_from_process_local_data(sharding, np.asarray(array))
+
+
+def process_shard_spec() -> Optional[tuple]:
+    """(process_index, process_count) for DataLoader process_shard, or None
+    when single-process."""
+    return (jax.process_index(), jax.process_count()) if jax.process_count() > 1 else None

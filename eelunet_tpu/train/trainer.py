@@ -275,15 +275,29 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         n_data = self.mesh.shape["data"]
         n_sp = spatial_size(self.mesh)
+        # Multi-host: a process-sharded loader yields this host's slice of
+        # each global batch — always 'data'-sharded (drop_remainder enforced
+        # in the loader). Unsharded loaders on >1 process carry the full
+        # batch on every host -> replicate.
+        pc = jax.process_count()
+        loader_sharded = getattr(loader, "process_shard", None) is not None
+        from eelunet_tpu.parallel.distributed import assemble_global_batch
 
         def shard_or_replicate(batch):
             # Tail batches that don't divide the data axis (eval loaders never
             # drop samples) can't be batch-sharded; replicate them instead —
             # slower for that one batch, but metrics stay exact. Same fallback
             # if image height doesn't divide the spatial axis.
-            divisible = batch[0].shape[0] % n_data == 0 and batch[0].shape[1] % n_sp == 0
+            global_rows = batch[0].shape[0] * (pc if loader_sharded else 1)
+            divisible = (
+                global_rows % n_data == 0
+                and batch[0].shape[1] % n_sp == 0
+                and (loader_sharded or pc == 1)
+            )
             sharding = bs if divisible else rep
-            out = jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tuple(batch))
+            out = jax.tree_util.tree_map(
+                lambda a: assemble_global_batch(a, sharding), tuple(batch)
+            )
             if self._augment is not None:
                 # Device-side augmentation chain (canny enhance/edge channel +
                 # ImageNet normalize) on the raw [0,1] batch; jitted, so it
@@ -305,6 +319,11 @@ class Trainer:
         tracing = False
         for i, (images, labels) in enumerate(self._device_batches(loader)):
             if want_prof and i == 1:
+                # Drain step 0 (the compile step) through the axon tunnel
+                # before opening the trace window — dispatch is async and
+                # block_until_ready doesn't sync there, so without a host
+                # readback step 0's device execution bleeds into the capture.
+                float(total)
                 prof_dir = os.path.join(self.cfg.log_dir, self.cfg.model.name, "profile")
                 os.makedirs(prof_dir, exist_ok=True)
                 jax.profiler.start_trace(prof_dir)
@@ -364,11 +383,19 @@ class Trainer:
             else:
                 log("resume_from=auto: no checkpoint found, starting fresh")
 
+        from eelunet_tpu.parallel.distributed import is_primary
         from eelunet_tpu.train.logging import MetricLogger
 
+        # Only host 0 writes TB/jsonl/history and prints; checkpoint saves
+        # below stay collective (orbax multihost elects the writer itself).
+        primary = is_primary()
+        if not primary:
+            log = lambda *a, **k: None
         run_dir = os.path.join(cfg.log_dir, cfg.model.name, datetime.now().strftime("%Y%m%d_%H%M%S"))
-        os.makedirs(run_dir, exist_ok=True)
-        logger = MetricLogger(run_dir)
+        logger = None
+        if primary:
+            os.makedirs(run_dir, exist_ok=True)
+            logger = MetricLogger(run_dir)
         history = {"train_loss": [], "val_loss": [], "metrics": []}
         json_path = os.path.join(self.ckpt.root, "loss_history.json")
 
@@ -381,7 +408,8 @@ class Trainer:
             history["train_loss"].append(train_loss)
             history["val_loss"].append(val_loss)
             history["metrics"].append(metrics)
-            logger.log_epoch(epoch + 1, train_loss, val_loss, metrics)
+            if logger is not None:
+                logger.log_epoch(epoch + 1, train_loss, val_loss, metrics)
 
             for tag in self.best.update(metrics, val_loss):
                 self.ckpt.save(tag, state)
@@ -399,12 +427,14 @@ class Trainer:
                 )
                 + f"({dt:.1f}s)"
             )
-            with open(json_path, "w") as f:
-                json.dump(history, f, indent=2)
+            if primary:
+                with open(json_path, "w") as f:
+                    json.dump(history, f, indent=2)
 
         log(
             "Training complete. Best: "
             + " ".join(f"{k}={v:.4f}" for k, v in self.best.best.items())
         )
-        logger.close()
+        if logger is not None:
+            logger.close()
         return state, history

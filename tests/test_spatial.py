@@ -102,3 +102,54 @@ def test_spatial_global_pool(rng):
     got = np.asarray(f(jnp.array(x)))
     want = x.mean(axis=(1, 2), keepdims=True)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_hysteresis_matches_unsharded(rng):
+    """Per-iteration 1-row halo hysteresis == unsharded fixpoint, including
+    growth chains that cross shard boundaries (round-1 gap closed)."""
+    from eelunet_tpu.ops.edge import hysteresis_thresholding
+    from eelunet_tpu.parallel.spatial import sharded_hysteresis
+
+    mesh = _mesh(8)
+    h = w = 64
+    # a weak vertical line crossing ALL shard boundaries, seeded by one strong
+    # pixel in shard 0 -> connectivity must propagate through every halo
+    strong = np.zeros((2, h, w, 1), np.float32)
+    weak = np.zeros((2, h, w, 1), np.float32)
+    strong[:, 1, 10, 0] = 1.0
+    weak[:, :, 10, 0] = 1.0
+    # plus random clutter
+    weak[(rng.random((2, h, w, 1)) < 0.05)] = 1.0
+
+    want = np.asarray(hysteresis_thresholding(jnp.array(strong), jnp.array(weak)))
+    got = np.asarray(sharded_hysteresis(mesh)(jnp.array(strong), jnp.array(weak)))
+    np.testing.assert_array_equal(got, want)
+    assert want[0, h - 1, 10, 0] == 1.0  # the chain really spans the image
+
+
+def test_sharded_hysteresis_fixed_k(rng):
+    from eelunet_tpu.ops.edge import hysteresis_thresholding
+    from eelunet_tpu.parallel.spatial import sharded_hysteresis
+
+    mesh = _mesh(8)
+    strong = (rng.random((1, 64, 32, 1)) < 0.01).astype(np.float32)
+    weak = (rng.random((1, 64, 32, 1)) < 0.2).astype(np.float32)
+    for k in (1, 3):
+        want = np.asarray(hysteresis_thresholding(jnp.array(strong), jnp.array(weak), max_iters=k))
+        got = np.asarray(sharded_hysteresis(mesh, max_iters=k)(jnp.array(strong), jnp.array(weak)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_canny_improve_interior_matches(rng):
+    """Full improve pipeline (incl. hysteresis) H-sharded: exact on interior
+    rows; stencil border caveat applies within 4 rows of the image edge."""
+    from eelunet_tpu.ops.edge import canny_edge_improve
+    from eelunet_tpu.parallel.spatial import sharded_canny_improve
+
+    mesh = _mesh(8)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = (((yy - 32) ** 2 + (xx - 30) ** 2) < 18**2).astype(np.float32)[None, :, :, None]
+    got = np.asarray(sharded_canny_improve(mesh)(jnp.array(mask)))
+    want = np.asarray(canny_edge_improve(jnp.array(mask)))
+    np.testing.assert_array_equal(got[:, 4:-4], want[:, 4:-4])

@@ -190,6 +190,19 @@ def test_cli_migrate_interleaved_checkpoint(tmp_path):
     trainer = Trainer(cfg, mesh=create_mesh(1, 1))
     state = trainer.init_state(steps_per_epoch=1)
 
+    # Fill the Adam moments with random values: fresh-init mu/nu are zeros and
+    # permuting zeros is a no-op, which would leave the opt_state branch of
+    # the migration unverified (advisor finding, round 1).
+    mrng = np.random.default_rng(7)
+    leaves, treedef = jax.tree_util.tree_flatten(state.opt_state)
+    leaves = [
+        jnp.asarray(mrng.standard_normal(l.shape), l.dtype)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        else l
+        for l in leaves
+    ]
+    state = state.replace(opt_state=jax.tree_util.tree_unflatten(treedef, leaves))
+
     def unmigrate(params):
         out = jax.tree_util.tree_map(lambda x: x, params)
         for mod in ("dec1", "dec2", "dec3", "dec4"):
@@ -202,8 +215,21 @@ def test_cli_migrate_interleaved_checkpoint(tmp_path):
             leaf["kernel"] = kn
         return out
 
+    def unmigrate_opt(opt_state):
+        is_params_like = lambda sub: isinstance(sub, dict) and all(
+            f"dec{i}" in sub for i in (1, 2, 3, 4)
+        )
+        return jax.tree_util.tree_map(
+            lambda sub: unmigrate(sub) if is_params_like(sub) else sub,
+            opt_state,
+            is_leaf=is_params_like,
+        )
+
     old_path = str(tmp_path / "old_ckpt")
-    trainer.ckpt.save_to(old_path, state.replace(params=unmigrate(state.params)))
+    trainer.ckpt.save_to(
+        old_path,
+        state.replace(params=unmigrate(state.params), opt_state=unmigrate_opt(state.opt_state)),
+    )
     os.remove(os.path.join(old_path, "framework_meta.json"))  # simulate pre-format era
 
     new_path = str(tmp_path / "migrated_ckpt")
@@ -213,6 +239,12 @@ def test_cli_migrate_interleaved_checkpoint(tmp_path):
     restored = trainer.ckpt.restore(new_path, state)
     for a, b in zip(
         jax.tree_util.tree_leaves(restored.params), jax.tree_util.tree_leaves(state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Adam moments round-trip through the same permutation (nonzero, so the
+    # opt_state branch is actually exercised)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.opt_state), jax.tree_util.tree_leaves(state.opt_state)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
