@@ -120,6 +120,49 @@ def _contract_kernel(vrt_ref, vit_ref, x_ref, tr_ref, ti_ref):
     )
 
 
+# 4D-operand variants (default where eligible; see use_4d in _fwd_core):
+# consume x/out as (B,H,W,C) blocks instead of pre-reshaped (B,H,W*C). The
+# (th,wt,c) VMEM block is byte-identical to (th,wt*c) (c is minor), so the
+# reshape inside the kernel is free — dropping the XLA-level reshape around
+# the custom call removes the operand/result relayout copies the profile
+# attributes ~3.5-4.5 ms/iter to (docs/PERF.md forward profile).
+def _contract_kernel_4d(vrt_ref, vit_ref, x_ref, tr_ref, ti_ref):
+    ht = pl.program_id(2)
+
+    @pl.when(ht == 0)
+    def _():
+        tr_ref[0] = jnp.zeros_like(tr_ref[0])
+        ti_ref[0] = jnp.zeros_like(ti_ref[0])
+
+    blk = x_ref[0]  # (Th, Wt, C)
+    xt = blk.reshape(blk.shape[0], blk.shape[1] * blk.shape[2])
+    tr_ref[0] += jax.lax.dot_general(
+        vrt_ref[:], xt, _DN_T, preferred_element_type=jnp.float32
+    )
+    ti_ref[0] += jax.lax.dot_general(
+        vit_ref[:], xt, _DN_T, preferred_element_type=jnp.float32
+    )
+
+
+def _expand_kernel_4d(ur_ref, ui_ref, sr_ref, si_ref, x_ref, out_ref):
+    ur = ur_ref[:]
+    ui = ui_ref[:]
+    sr = sr_ref[0]
+    si = si_ref[0]
+    lr = jnp.dot(ur, sr, preferred_element_type=jnp.float32) - jnp.dot(
+        ui, si, preferred_element_type=jnp.float32
+    )
+    li = jnp.dot(ur, si, preferred_element_type=jnp.float32) + jnp.dot(
+        ui, sr, preferred_element_type=jnp.float32
+    )
+    blk = x_ref[0]  # (Th, Wt, C)
+    xt = blk.reshape(blk.shape[0], blk.shape[1] * blk.shape[2])
+    zr = xt.astype(jnp.float32) - lr
+    sq = zr * zr + li * li
+    out = jnp.sqrt(jnp.maximum(sq, _EPS)).astype(out_ref.dtype)
+    out_ref[0] = out.reshape(blk.shape)
+
+
 # --- kernel 2: out = |x - U_H @ S|, fused per tile ---------------------------
 def _expand_kernel(ur_ref, ui_ref, sr_ref, si_ref, x_ref, out_ref):
     ur = ur_ref[:]  # (Th, K)
@@ -178,15 +221,41 @@ def _fwd_core(x, vhr_t, vhi_t, uhr, uhi, uwr, uwi, vwr, vwi,
         raise ValueError(f"unsupported shape for Pallas high-pass: {x.shape}")
     n_ht, n_wc = h // th, wc // wct
 
-    xm = x.reshape(b, h, wc)
+    import os
+
+    # 4D-operand path (default on where eligible; EELUNET_HP4D=0 disables):
+    # c must be lane-aligned (128-divisible) because Mosaic cannot collapse a
+    # sub-lane-packed minor dim ((th,wt,64)->(th,wt*64) reshape is rejected).
+    # Measured (3 interleaved repeats, docs/PERF.md): -12.5% at the eligible
+    # (8,256,256,128) call site, exact fallback elsewhere.
+    use_4d = (
+        os.environ.get("EELUNET_HP4D") != "0"
+        and c % _LANE == 0
+        and wct % c == 0
+        and w % (wct // c) == 0
+    )
+    wt = wct // c if use_4d else 0
+
+    if use_4d:
+        x_spec = pl.BlockSpec(
+            (1, th, wt, c), lambda bi, wi, hi: (bi, hi, wi, 0), memory_space=pltpu.VMEM
+        )
+        x_arg = x
+        contract_kernel = _contract_kernel_4d
+    else:
+        x_spec = pl.BlockSpec(
+            (1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM
+        )
+        x_arg = x.reshape(b, h, wc)
+        contract_kernel = _contract_kernel
 
     tr, ti = pl.pallas_call(
-        _contract_kernel,
+        contract_kernel,
         grid=(b, n_wc, n_ht),
         in_specs=[
             pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
@@ -197,7 +266,7 @@ def _fwd_core(x, vhr_t, vhi_t, uhr, uhi, uwr, uwi, vwr, vwi,
             jax.ShapeDtypeStruct((b, k, wc), jnp.float32),
         ),
         interpret=interpret,
-    )(vhr_t, vhi_t, xm)
+    )(vhr_t, vhi_t, x_arg)
 
     # --- XLA middle on the skinny T: contract then expand the W axis -------
     # T is (B, K, W, C); all four einsums touch K-row data only (~2% of x).
@@ -215,22 +284,33 @@ def _fwd_core(x, vhr_t, vhi_t, uhr, uhi, uwr, uwi, vwr, vwi,
     s_r = s_r.reshape(b, k, wc)
     s_i = s_i.reshape(b, k, wc)
 
+    if use_4d:
+        out_spec = pl.BlockSpec(
+            (1, th, wt, c), lambda bi, wi, hi: (bi, hi, wi, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b, h, w, c), x.dtype)
+        expand_kernel = _expand_kernel_4d
+    else:
+        out_spec = pl.BlockSpec(
+            (1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((b, h, wc), x.dtype)
+        expand_kernel = _expand_kernel
+
     out = pl.pallas_call(
-        _expand_kernel,
+        expand_kernel,
         grid=(b, n_wc, n_ht),
         in_specs=[
             pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, k), lambda bi, wi, hi: (hi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, wct), lambda bi, wi, hi: (bi, 0, wi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM),
+            x_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, wct), lambda bi, wi, hi: (bi, hi, wi), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, wc), x.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(uhr, uhi, s_r, s_i, xm)
+    )(uhr, uhi, s_r, s_i, x_arg)
     return out.reshape(b, h, w, c), s_r, s_i
 
 

@@ -116,3 +116,20 @@ def test_pallas_supported_predicate():
     assert pallas_supported((8, 256, 256, 128))
     assert not pallas_supported((1, 7, 64, 3))      # H not tileable
     assert not pallas_supported((1, 64, 13, 3))     # W*C=39 not lane-aligned
+
+
+def test_pallas_4d_operand_path_matches_lowrank(rng):
+    """The 4D-operand kernel variant (lane-aligned channels consume NHWC
+    blocks directly, skipping the XLA-level (B,H,W*C) reshape) must match the
+    low-rank reference exactly like the 3D path does."""
+    import numpy as np
+
+    from eelunet_tpu.ops import fft_pallas as fp
+    from eelunet_tpu.ops.fft import high_pass_fft_lowrank
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 128)), jnp.float32)
+    want = np.asarray(high_pass_fft_lowrank(x, 8))
+    out, s_r, s_i = fp._fwd_core(x, *fp._fwd_factor_args(x, 8), 8, True)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+    # and the 4D condition actually holds for this shape (c == 128)
+    assert x.shape[-1] % fp._LANE == 0

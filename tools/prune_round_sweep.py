@@ -57,7 +57,7 @@ def main():
     results = {"full": {"img_per_sec": measure(full, variables, "full"),
                         "params": param_count(variables["params"])}}
 
-    for amount in (0.5, 0.6):
+    for amount in (0.5, 0.6, 0.7):
         for round_to in (32, 16, 8):
             sp, sb, widths = physical_prune_eelunet(
                 variables["params"], variables["batch_stats"], amount, round_to
