@@ -59,11 +59,12 @@ def wants_raw_images(d) -> bool:
 
 def make_folder_dataset(d, split: str) -> SegmentationFolderDataset:
     """Dataset for one split, honoring the augmentation flags' raw-image
-    requirement. Used by every CLI so the flags behave identically in
-    train/evaluate/predict."""
+    requirement and the uint8 device feed. Used by every CLI so the flags
+    behave identically in train/evaluate/predict."""
     return SegmentationFolderDataset(
         d.data_dir, split, d.image_size, d.normalize_mean, d.normalize_std,
         normalize=not wants_raw_images(d),
+        as_uint8=bool(getattr(d, "uint8_feed", False)),
     )
 
 
@@ -72,16 +73,20 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
     dir and a separate test dir (train.py:255-265)."""
     d = cfg.data
     if d.packed:
-        if wants_raw_images(d):
+        if wants_raw_images(d) and not d.uint8_feed:
             raise ValueError(
-                "add_canny_edge/canny_enhance need raw images, but packed "
-                "datasets store normalized tensors (cli.pack). Re-pack is not "
-                "supported; use the PNG tree (data.packed=false)."
+                "add_canny_edge/canny_enhance need raw images; the packed "
+                "float path serves normalized tensors. Enable data.uint8_feed "
+                "(default) — packed memmaps are pre-normalization uint8, so "
+                "the device augment chain applies — or use the PNG tree "
+                "(data.packed=false)."
             )
         from eelunet_tpu.data.packed import PackedDataset
 
-        full = PackedDataset(d.data_dir, "train", d.normalize_mean, d.normalize_std)
-        test = PackedDataset(d.data_dir, "test", d.normalize_mean, d.normalize_std)
+        full = PackedDataset(d.data_dir, "train", d.normalize_mean, d.normalize_std,
+                             as_uint8=d.uint8_feed)
+        test = PackedDataset(d.data_dir, "test", d.normalize_mean, d.normalize_std,
+                             as_uint8=d.uint8_feed)
     else:
         full = make_folder_dataset(d, "train")
         test = make_folder_dataset(d, "test")

@@ -13,6 +13,7 @@ import os
 from datetime import datetime
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from eelunet_tpu.cli.common import base_parser, load_config, make_folder_dataset
@@ -44,8 +45,6 @@ def main(argv=None):
 
     if is_slim_checkpoint(args.checkpoint):
         # Physically pruned unet: rebuild the slim module from widths.json.
-        import jax.numpy as jnp
-
         from eelunet_tpu.registry import MODEL_REGISTRY
 
         dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
@@ -63,17 +62,18 @@ def main(argv=None):
     ds = make_folder_dataset(d, args.split)
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
 
-    from eelunet_tpu.data.augment import make_augment_fn
+    from eelunet_tpu.data.augment import make_input_preprocess
 
-    augment = make_augment_fn(d)
+    preprocess, _ = make_input_preprocess(d)
 
     out_dir = os.path.join(args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit
     def forward(params, batch_stats, images):
-        if augment is not None:
-            images = augment(images)
+        # uint8 scale / augment chain / normalize, by batch dtype — one
+        # fused executable with the forward (dummy labels: images-only path).
+        images, _ = preprocess(images, jnp.zeros((1, 1, 1, 1), jnp.float32))
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

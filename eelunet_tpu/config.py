@@ -34,6 +34,12 @@ class DataConfig:
     canny_enhance_alpha: float = 0.2
     drop_remainder: bool = True   # static shapes for jit
     packed: bool = False          # data_dir points at a cli.pack output (memmaps)
+    # Ship uint8 batches to the device and scale/normalize there (4x fewer
+    # host->device bytes; the jitted preprocess computes the host formula
+    # u8/255 -> (x-mean)/std, matching to f32 rounding, <=1e-6 via fma
+    # fusion). Measured on the axon tunnel: H2D streaming dominates epoch
+    # overhead at 256^2 (docs/PERF.md epoch breakdown).
+    uint8_feed: bool = True
 
 
 @dataclass

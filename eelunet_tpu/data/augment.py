@@ -97,3 +97,37 @@ def make_augment_fn(data_cfg):
         return rgb
 
     return augment
+
+
+def make_input_preprocess(data_cfg):
+    """Jitted device-side (images, labels) preprocess covering every host
+    dataset mode; dtype (static under jit) selects the path:
+
+    - uint8 images (``DataConfig.uint8_feed``): u8 -> f32/255, then the
+      augment chain or plain ImageNet normalization. Matches the
+      host-side float formula (dataset.py:75-78) to f32 rounding (<=1e-6,
+      XLA fma fusion) with 4x fewer H2D bytes —
+      the measured epoch-overhead driver on the axon tunnel (docs/PERF.md).
+    - float images + augmentations on: raw [0,1] RGB -> augment chain
+      (which normalizes), the pre-uint8-feed raw path.
+    - float images, no augmentations: already normalized on host; identity.
+
+    Returns ``(preprocess, has_augment)``; callers may skip the call for
+    float batches when ``has_augment`` is False (identity dispatch).
+    """
+    augment = make_augment_fn(data_cfg)
+    mean = tuple(data_cfg.normalize_mean)
+    std = tuple(data_cfg.normalize_std)
+
+    @jax.jit
+    def preprocess(images: jnp.ndarray, labels: jnp.ndarray):
+        if labels.dtype == jnp.uint8:
+            labels = labels.astype(jnp.float32) / 255.0
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+            images = augment(images) if augment is not None else normalize_imagenet(images, mean, std)
+        elif augment is not None:
+            images = augment(images)
+        return images, labels
+
+    return preprocess, augment is not None

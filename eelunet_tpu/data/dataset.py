@@ -38,6 +38,7 @@ class SegmentationFolderDataset:
         normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         normalize: bool = True,
+        as_uint8: bool = False,
     ):
         if not _HAS_PIL:
             raise RuntimeError("PIL is required for SegmentationFolderDataset")
@@ -59,6 +60,10 @@ class SegmentationFolderDataset:
         # reference's transform order (ToothDataset.py:52-61: augment, then
         # normalize). data/augment.make_augment_fn normalizes afterwards.
         self.normalize = normalize
+        # as_uint8=True yields raw uint8 (H,W,3)/(H,W,1) samples; the device
+        # preprocess (data/augment.make_input_preprocess) does u8/255 and
+        # normalization after the 4x-smaller host->device transfer.
+        self.as_uint8 = as_uint8
 
     def __len__(self) -> int:
         return len(self.image_files)
@@ -72,6 +77,8 @@ class SegmentationFolderDataset:
         h, w = self.image_size
         img = img.resize((w, h), Image.BILINEAR)
         mask = mask.resize((w, h), Image.BILINEAR)
+        if self.as_uint8:
+            return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)[..., None]
         x = np.asarray(img, np.float32) / 255.0            # (H, W, 3)
         if self.normalize:
             x = (x - self.mean) / self.std                 # ToothDataset.py:60

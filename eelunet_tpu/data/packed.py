@@ -78,16 +78,25 @@ class PackedDataset:
         split: str = "train",
         normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
+        as_uint8: bool = False,
     ):
         self.images = np.load(os.path.join(packed_dir, f"{split}_images.npy"), mmap_mode="r")
         self.masks = np.load(os.path.join(packed_dir, f"{split}_masks.npy"), mmap_mode="r")
         self.mean = np.asarray(normalize_mean, np.float32) * 255.0
         self.std = np.asarray(normalize_std, np.float32) * 255.0
+        # as_uint8=True serves the memmaps verbatim; scaling/normalization move
+        # into the device preprocess (data/augment.make_input_preprocess),
+        # which computes the canonical u8/255 -> (x-mean)/std formula — and,
+        # since the memmaps are pre-normalization, the device augmentations
+        # (add_canny_edge/canny_enhance) become usable from packed data too.
+        self.as_uint8 = as_uint8
 
     def __len__(self) -> int:
         return self.images.shape[0]
 
     def __getitem__(self, idx: int):
+        if self.as_uint8:
+            return np.array(self.images[idx]), np.array(self.masks[idx])
         x = (self.images[idx].astype(np.float32) - self.mean) / self.std
         y = self.masks[idx].astype(np.float32) / 255.0
         return x, y

@@ -156,9 +156,9 @@ class Trainer:
                 cfg, model=dataclasses.replace(cfg.model, in_channels=4)
             )
         self.cfg = cfg
-        from eelunet_tpu.data.augment import make_augment_fn
+        from eelunet_tpu.data.augment import make_input_preprocess
 
-        self._augment = make_augment_fn(cfg.data)
+        self._preprocess, self._has_augment = make_input_preprocess(cfg.data)
         self.mesh = mesh if mesh is not None else create_mesh(
             cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis
         )
@@ -298,11 +298,13 @@ class Trainer:
             out = jax.tree_util.tree_map(
                 lambda a: assemble_global_batch(a, sharding), tuple(batch)
             )
-            if self._augment is not None:
-                # Device-side augmentation chain (canny enhance/edge channel +
-                # ImageNet normalize) on the raw [0,1] batch; jitted, so it
-                # fuses with the sharding layout instead of running on host.
-                out = (self._augment(out[0]),) + out[1:]
+            if self._has_augment or out[0].dtype == jnp.uint8:
+                # Device-side input chain (uint8 scale, canny enhance/edge
+                # channel, ImageNet normalize); jitted, so it fuses with the
+                # sharding layout instead of running on host. Skipped only
+                # for float batches with no augmentations (already normalized
+                # on host — identity).
+                out = self._preprocess(*out)
             return out
 
         return prefetch_to_device(

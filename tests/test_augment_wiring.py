@@ -93,9 +93,12 @@ def test_train_e2e_with_add_canny_edge(synthetic_tree, tmp_path):
     assert history["metrics"][0]["dice"] >= 0.0
 
 
-def test_packed_plus_augment_rejected(tmp_path):
+def test_packed_plus_augment_rejected_on_float_path(tmp_path):
+    """Only the float packed path serves normalized tensors; with uint8_feed
+    (default) the memmaps are raw and the device augment chain applies."""
     from eelunet_tpu.cli.common import build_loaders
 
-    cfg = _cfg(tmp_path, "/nonexistent", "data.packed=true", "data.add_canny_edge=true")
+    cfg = _cfg(tmp_path, "/nonexistent", "data.packed=true",
+               "data.add_canny_edge=true", "data.uint8_feed=false")
     with pytest.raises(ValueError, match="raw images"):
         build_loaders(cfg)
