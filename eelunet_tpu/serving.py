@@ -1,0 +1,234 @@
+"""Online inference serving: dynamic micro-batching over the Predictor.
+
+The reference ships only offline mask export (test.py); this is the
+deployment counterpart for TPU serving. Concurrent requests coalesce into
+device batches (XLA compiles per shape, so batches ride the Predictor's
+bucketed executables), images travel host->device as uint8 (4x fewer bytes,
+docs/PERF.md epoch breakdown), and one worker thread owns the device — no
+lock contention on the JAX runtime.
+
+Wire protocol (eelunet_tpu.cli.serve):
+  POST /v1/predict  body = .npy bytes, uint8/float (H,W,3) or (B,H,W,3)
+                    -> .npy float32 probabilities (B,H,W,1), or binary
+                       masks with ?output=mask
+  POST /v1/predict  body = PNG/JPEG (any PIL format) -> L-mode PNG mask
+                    {0,255}, resized like the folder dataset (BILINEAR)
+  GET  /v1/healthz  -> {"status": "ok", "model": ..., "image_size": ...}
+  GET  /v1/stats    -> batching counters (requests, batches, avg_batch)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Coalesces concurrent single-image requests into device batches.
+
+    One worker thread drains a queue: it blocks for the first item, then
+    gathers more until ``max_batch`` items are pending or ``window_ms`` has
+    elapsed since the first, stacks them, and runs one forward. Under load
+    the window never idles (the queue already holds items); a lone request
+    pays at most the window latency.
+    """
+
+    def __init__(self, run_batch, max_batch: int = 16, window_ms: float = 5.0):
+        self._run = run_batch
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.requests = 0
+        self.batches = 0
+        self.batched_items = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, image: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._q.put((image, fut))
+        return fut
+
+    def stop(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(items) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            images = [im for im, _ in items]
+            futs = [f for _, f in items]
+            self.requests += len(items)
+            self.batches += 1
+            self.batched_items += len(items)
+            try:
+                out = self._run(np.stack(images))
+                for i, f in enumerate(futs):
+                    f.set_result(out[i])
+            except Exception as e:  # propagate to every waiter in the batch
+                for f in futs:
+                    f.set_exception(e)
+
+
+class SegmentationService:
+    """Predictor + micro-batcher + input decoding at a fixed serving size."""
+
+    def __init__(
+        self,
+        predictor,
+        image_size: Tuple[int, int],
+        normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
+        normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
+        max_batch: int = 16,
+        window_ms: float = 5.0,
+    ):
+        self.predictor = predictor
+        self.image_size = tuple(image_size)
+        self.mean = np.asarray(normalize_mean, np.float32)
+        self.std = np.asarray(normalize_std, np.float32)
+        self.threshold = predictor.threshold
+        self.batcher = MicroBatcher(
+            predictor.predict_proba, max_batch=max_batch, window_ms=window_ms
+        )
+
+    def close(self):
+        self.batcher.stop()
+
+    # -- input handling -----------------------------------------------------
+
+    def _check_array(self, arr: np.ndarray) -> np.ndarray:
+        h, w = self.image_size
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.ndim != 4 or arr.shape[1:] != (h, w, 3):
+            raise ValueError(
+                f"expected (B,{h},{w},3) or ({h},{w},3), got {arr.shape}"
+            )
+        if arr.dtype == np.uint8:
+            return arr          # device-side scale+normalize (Predictor)
+        if np.issubdtype(arr.dtype, np.floating):
+            return arr.astype(np.float32)  # caller pre-normalized
+        raise ValueError(f"expected uint8 or float array, got {arr.dtype}")
+
+    def _decode_image(self, data: bytes) -> np.ndarray:
+        from PIL import Image
+
+        h, w = self.image_size
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        img = img.resize((w, h), Image.BILINEAR)  # dataset.py resize parity
+        return np.asarray(img, np.uint8)
+
+    # -- request entry points ----------------------------------------------
+
+    def predict_npy(self, body: bytes, output: str = "proba") -> bytes:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        batch = self._check_array(arr)
+        if batch.shape[0] == 1:
+            probs = self.batcher.submit(batch[0]).result()[None]
+        else:
+            # caller already batched: run directly, keep the batcher for
+            # singles (stacking a pre-batched request into others would
+            # reorder rows)
+            probs = self.predictor.predict_proba(batch)
+        if output == "mask":
+            probs = (probs > self.threshold).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(probs, np.float32))
+        return buf.getvalue()
+
+    def predict_png(self, body: bytes) -> bytes:
+        from PIL import Image
+
+        rgb = self._decode_image(body)
+        probs = self.batcher.submit(rgb).result()
+        mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(mask, mode="L").save(buf, format="PNG")  # cli.predict export parity
+        return buf.getvalue()
+
+    def stats(self) -> dict:
+        b = self.batcher
+        return {
+            "requests": b.requests,
+            "batches": b.batches,
+            "avg_batch": round(b.batched_items / b.batches, 3) if b.batches else 0.0,
+            "max_batch": b.max_batch,
+            "window_ms": b.window_s * 1e3,
+        }
+
+
+def make_server(service: SegmentationService, model_name: str,
+                host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """HTTP front end over a SegmentationService; port=0 binds ephemeral."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats live at /v1/stats
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _bytes(self, body: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/healthz":
+                h, w = service.image_size
+                self._json(200, {"status": "ok", "model": model_name,
+                                 "image_size": [h, w]})
+            elif self.path == "/v1/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/v1/predict":
+                return self._json(404, {"error": f"no route {path}"})
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            try:
+                if ctype.startswith("image/"):
+                    self._bytes(service.predict_png(body), "image/png")
+                else:
+                    output = "mask" if "output=mask" in query else "proba"
+                    self._bytes(service.predict_npy(body, output),
+                                "application/octet-stream")
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

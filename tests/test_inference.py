@@ -30,6 +30,21 @@ def test_predictor_batch_bucketing():
     assert flat._forward._cache_size() == 3
 
 
+def test_predictor_accepts_uint8():
+    """uint8 serving input (scaled + ImageNet-normalized on device) matches
+    host-normalized float input on the same weights — the 4x-smaller
+    transfer path is a pure bandwidth optimization."""
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(
+        pred.predict_proba(u8), pred.predict_proba(f32), atol=1e-5
+    )
+
+
 def test_predictor_matches_trainer_eval(tmp_path):
     cfg = apply_overrides(
         TrainConfig(),

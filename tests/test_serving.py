@@ -1,0 +1,173 @@
+"""Serving subsystem: micro-batching semantics + HTTP protocol round trips.
+
+The batcher must (a) return each caller exactly its own row, in any
+interleaving, (b) coalesce concurrent singles into shared device batches,
+and (c) propagate forward errors to every waiter instead of hanging them.
+The HTTP layer must round-trip npy and PNG payloads and reject bad input
+with 400s (not 500s or hangs)."""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from eelunet_tpu.config import ModelConfig
+from eelunet_tpu.inference import Predictor
+from eelunet_tpu.serving import MicroBatcher, SegmentationService, make_server
+
+
+def _post(url, body, ctype="application/octet-stream"):
+    req = urllib.request.Request(url, data=body, headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def _npy(arr) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- batcher
+
+def test_microbatcher_rows_routed_and_coalesced():
+    calls = []
+
+    def run(batch):
+        calls.append(batch.shape[0])
+        return batch * 2.0
+
+    mb = MicroBatcher(run, max_batch=8, window_ms=30.0)
+    try:
+        xs = [np.full((2, 2), i, np.float32) for i in range(12)]
+        futs = [mb.submit(x) for x in xs]
+        outs = [f.result(timeout=10) for f in futs]
+        for i, o in enumerate(outs):
+            np.testing.assert_array_equal(o, xs[i] * 2.0)  # own row back
+        assert mb.requests == 12
+        assert mb.batches < 12          # coalescing happened
+        assert sum(calls) == 12
+    finally:
+        mb.stop()
+
+
+def test_microbatcher_error_propagates_to_all_waiters():
+    def run(batch):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run, max_batch=4, window_ms=20.0)
+    try:
+        futs = [mb.submit(np.zeros((1,), np.float32)) for _ in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="boom"):
+                f.result(timeout=10)
+    finally:
+        mb.stop()
+
+
+# ------------------------------------------------------------ http server
+
+@pytest.fixture(scope="module")
+def served():
+    predictor = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    service = SegmentationService(predictor, (32, 32), max_batch=8, window_ms=10.0)
+    server = make_server(service, "unet", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.server_address[0]}:{server.server_address[1]}"
+    yield base, predictor, service
+    server.shutdown()
+    service.close()
+
+
+def test_healthz_and_stats(served):
+    base, _, _ = served
+    with urllib.request.urlopen(base + "/v1/healthz", timeout=10) as r:
+        h = json.loads(r.read())
+    assert h == {"status": "ok", "model": "unet", "image_size": [32, 32]}
+    with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+        s = json.loads(r.read())
+    assert {"requests", "batches", "avg_batch"} <= set(s)
+
+
+def test_predict_npy_uint8_matches_direct(served):
+    base, predictor, _ = served
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    code, body, ctype = _post(base + "/v1/predict", _npy(u8))
+    assert code == 200 and ctype == "application/octet-stream"
+    probs = np.load(io.BytesIO(body))
+    assert probs.shape == (1, 32, 32, 1) and probs.dtype == np.float32
+    want = predictor.predict_proba(u8[None])
+    np.testing.assert_allclose(probs, want, atol=1e-6)
+
+
+def test_predict_npy_batched_and_mask_output(served):
+    base, predictor, _ = served
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    code, body, _ = _post(base + "/v1/predict?output=mask", _npy(u8))
+    assert code == 200
+    masks = np.load(io.BytesIO(body))
+    assert masks.shape == (3, 32, 32, 1)
+    assert set(np.unique(masks)).issubset({0.0, 1.0})
+    want = (predictor.predict_proba(u8) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(masks, want)
+
+
+def test_predict_png_roundtrip(served):
+    from PIL import Image
+
+    base, predictor, _ = served
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)  # resized to 32x32
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    code, body, ctype = _post(base + "/v1/predict", buf.getvalue(), "image/png")
+    assert code == 200 and ctype == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    assert mask.shape == (32, 32)
+    assert set(np.unique(mask)).issubset({0, 255})
+    # parity with the dataset-style resize + direct predictor
+    resized = np.asarray(Image.fromarray(rgb).resize((32, 32), Image.BILINEAR))
+    want = (predictor.predict_proba(resized[None])[0, ..., 0] > 0.5)
+    np.testing.assert_array_equal(mask > 0, want)
+
+
+def test_predict_rejects_bad_input(served):
+    base, _, _ = served
+    code, body, _ = _post(base + "/v1/predict", _npy(np.zeros((8, 8, 3), np.uint8)))
+    assert code == 400 and b"expected" in body
+    code, body, _ = _post(base + "/v1/predict", b"not an npy")
+    assert code in (400, 500)
+
+
+def test_concurrent_singles_coalesce(served):
+    base, _, service = served
+    before = service.batcher.batches
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(8)]
+    results = [None] * 8
+
+    def call(i):
+        code, body, _ = _post(base + "/v1/predict", _npy(imgs[i]))
+        assert code == 200
+        results[i] = np.load(io.BytesIO(body))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None and r.shape == (1, 32, 32, 1) for r in results)
+    # 8 concurrent singles must not have taken 8 separate device batches
+    assert service.batcher.batches - before < 8
