@@ -3,10 +3,12 @@
 The reference saves bare ``state_dict`` weights on each new best of six
 tracked metrics plus every 10 epochs (train.py:157-180,195-197) and never
 persists optimizer state, epoch or RNG — resuming restarts optimization
-(SURVEY.md §5). Here the whole TrainState round-trips, and the best-metric
-checkpoint policy is mirrored: ``{name}_best_{iou,dice,miou,mdice,
-boundary_f1}`` plus ``{name}_best`` on min val loss and periodic
-``{name}_epoch_{N}`` snapshots.
+(SURVEY.md §5). Here the policy is mirrored with two tiers:
+``{name}_best_{iou,dice,miou,mdice,boundary_f1}`` + ``{name}_best`` (min
+val loss) are weights-only like the reference's state_dicts (and
+hardlink-deduped within an epoch — see save_weights_tags), while periodic
+``{name}_epoch_{N}`` snapshots round-trip the whole TrainState for exact
+resume (which the reference cannot do).
 """
 
 from __future__ import annotations
@@ -37,11 +39,31 @@ _INTERLEAVE_WARNING = (
 )
 
 
-def write_format_meta(path: str) -> None:
+def write_format_meta(path: str, weights_only: bool = False) -> None:
     import json
 
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump(FORMAT_META, f)
+    meta = dict(FORMAT_META)
+    if weights_only:
+        meta["weights_only"] = True
+    target = os.path.join(path, _META_FILE)
+    if os.path.exists(target):
+        os.remove(target)  # break hardlinks (save_weights_tags dedup copies)
+    with open(target, "w") as f:
+        json.dump(meta, f)
+
+
+def read_meta(path: str) -> Dict[str, Any]:
+    import json
+
+    try:
+        with open(os.path.join(path, _META_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def is_weights_only(path: str) -> bool:
+    return bool(read_meta(path).get("weights_only"))
 
 
 def warn_if_preformat(path: str, model_name: str) -> bool:
@@ -70,6 +92,9 @@ class CheckpointManager:
             "rng": state.rng,
         }
 
+    def _weights_tree(self, state) -> Dict[str, Any]:
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
     def save(self, tag: str, state, force: bool = True) -> str:
         return self.save_to(os.path.join(self.root, f"{self.model_name}_{tag}"), state, force)
 
@@ -80,8 +105,43 @@ class CheckpointManager:
         write_format_meta(path)
         return path
 
+    def save_weights_tags(self, tags, state) -> list:
+        """Weights-only (params + batch_stats) saves for best-metric tags —
+        the reference's ``torch.save(model.state_dict())`` semantics
+        (train.py:157-180). Two measured wins on this rig (docs/PERF.md
+        checkpoint-cost entry): skipping the optimizer moments avoids a
+        device->host fetch of 2x the param bytes through the tunnel per
+        epoch, and tags after the first are hardlink copies (the epoch's
+        weights are identical), so 4 simultaneous new bests cost one save.
+        Resume still needs a full snapshot (``epoch_N``; latest_path skips
+        weights-only dirs)."""
+        import shutil
+
+        paths = []
+        first = None
+        for tag in tags:
+            path = os.path.join(self.root, f"{self.model_name}_{tag}")
+            if first is None:
+                self._ckptr.save(path, self._weights_tree(state), force=True)
+                self._ckptr.wait_until_finished()
+                first = path
+            else:
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                shutil.copytree(first, path, copy_function=os.link)
+            write_format_meta(path, weights_only=True)
+            paths.append(path)
+        return paths
+
     def restore(self, path: str, state_template):
         """Restore into the structure of ``state_template`` (a TrainState)."""
+        if is_weights_only(path):
+            raise ValueError(
+                f"{path} is a weights-only (best-metric) checkpoint: it has no "
+                "optimizer state to resume from. Resume from a full snapshot "
+                f"({self.model_name}_epoch_N), or load weights with "
+                "restore_params/--checkpoint."
+            )
         warn_if_preformat(path, self.model_name)
         tree = self._ckptr.restore(path, target=self._state_tree(state_template))
         return state_template.replace(
@@ -94,9 +154,12 @@ class CheckpointManager:
 
     def restore_params(self, path: str, state_template):
         """Weights-only restore (reference load_state_dict semantics,
-        evaluate.py:172-176)."""
+        evaluate.py:172-176). Accepts both full and weights-only dirs."""
         warn_if_preformat(path, self.model_name)
-        tree = self._ckptr.restore(path, target=self._state_tree(state_template))
+        if is_weights_only(path):
+            tree = self._ckptr.restore(path, target=self._weights_tree(state_template))
+        else:
+            tree = self._ckptr.restore(path, target=self._state_tree(state_template))
         return state_template.replace(params=tree["params"], batch_stats=tree["batch_stats"])
 
     def latest_best_path(self) -> Optional[str]:
@@ -104,13 +167,17 @@ class CheckpointManager:
         return p if os.path.exists(p) else None
 
     def latest_path(self) -> Optional[str]:
-        """Most recently written checkpoint under this model's root — the
-        target of ``--resume auto`` (restart-after-preemption recovery; the
-        reference's resume was a commented block, train.py:293-297)."""
+        """Most recently written FULL checkpoint under this model's root —
+        the target of ``--resume auto`` (restart-after-preemption recovery;
+        the reference's resume was a commented block, train.py:293-297).
+        Weights-only best-metric dirs are skipped: they carry no optimizer
+        state to resume."""
         candidates = [
-            os.path.join(self.root, d)
+            p
             for d in os.listdir(self.root)
-            if d.startswith(f"{self.model_name}_") and os.path.isdir(os.path.join(self.root, d))
+            if d.startswith(f"{self.model_name}_")
+            and os.path.isdir(p := os.path.join(self.root, d))
+            and not is_weights_only(p)
         ]
         return max(candidates, key=os.path.getmtime) if candidates else None
 

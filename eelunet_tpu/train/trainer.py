@@ -413,8 +413,10 @@ class Trainer:
             if logger is not None:
                 logger.log_epoch(epoch + 1, train_loss, val_loss, metrics)
 
-            for tag in self.best.update(metrics, val_loss):
-                self.ckpt.save(tag, state)
+            # Weights-only + hardlink-deduped (reference state_dict policy;
+            # skips the per-epoch optimizer-moments device fetch — measured
+            # checkpoint-cost entry in docs/PERF.md).
+            self.ckpt.save_weights_tags(self.best.update(metrics, val_loss), state)
             if (epoch + 1) % cfg.snapshot_every == 0:
                 self.ckpt.save(f"epoch_{epoch + 1}", state)
 
@@ -433,6 +435,10 @@ class Trainer:
                 with open(json_path, "w") as f:
                     json.dump(history, f, indent=2)
 
+        if cfg.epochs > 0:
+            # Final full snapshot: with best tags weights-only, this (plus
+            # the periodic epoch_N saves) is what resume_from=auto targets.
+            self.ckpt.save("last", state)
         log(
             "Training complete. Best: "
             + " ".join(f"{k}={v:.4f}" for k, v in self.best.best.items())

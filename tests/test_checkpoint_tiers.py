@@ -1,0 +1,85 @@
+"""Two-tier checkpointing: weights-only best-metric tags vs full snapshots.
+
+Best tags mirror the reference's ``torch.save(model.state_dict())``
+(train.py:157-180): params + batch_stats only, hardlink-deduped when several
+metrics peak in the same epoch. Full TrainState round-trips live only in
+``epoch_N`` / ``last`` snapshots, which is what resume_from=auto targets —
+restore() must refuse weights-only dirs with a clear error instead of a
+shape mismatch deep in orbax."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from eelunet_tpu.config import TrainConfig, apply_overrides
+from eelunet_tpu.data.pipeline import DataLoader
+from eelunet_tpu.data.synthetic import SyntheticDataset
+from eelunet_tpu.parallel.mesh import create_mesh
+from eelunet_tpu.train.checkpoint import is_weights_only
+from eelunet_tpu.train.trainer import Trainer
+
+
+def _cfg(tmp_path, epochs=1):
+    return apply_overrides(
+        TrainConfig(),
+        ["model.name=unet", "data.image_size=[32,32]", "data.batch_size=4",
+         "seed=0", f"save_dir={tmp_path}/ckpt", f"log_dir={tmp_path}/runs",
+         f"epochs={epochs}", "snapshot_every=100", "optimizer.lr=0.003"],
+    )
+
+
+def test_weights_tags_are_weights_only_and_hardlink_deduped(tmp_path):
+    trainer = Trainer(_cfg(tmp_path), mesh=create_mesh(1, 1))
+    state = trainer.init_state()
+    paths = trainer.ckpt.save_weights_tags(["best_dice", "best_iou", "best"], state)
+    assert len(paths) == 3 and all(is_weights_only(p) for p in paths)
+
+    # dedup: the copies' array files share inodes with the first save
+    def data_inodes(root):
+        return {
+            os.path.relpath(os.path.join(dp, f), root): os.stat(os.path.join(dp, f)).st_ino
+            for dp, _, fs in os.walk(root) for f in fs
+            if f != "framework_meta.json"
+        }
+
+    first, second = data_inodes(paths[0]), data_inodes(paths[1])
+    assert first.keys() == second.keys()
+    assert all(first[k] == second[k] for k in first)
+
+    # weights-only restore works; full-state restore refuses clearly
+    template = trainer.init_state()
+    restored = trainer.ckpt.restore_params(paths[0], template)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="weights-only"):
+        trainer.ckpt.restore(paths[0], template)
+
+    # resume-auto never picks a weights-only dir
+    assert trainer.ckpt.latest_path() is None
+    full = trainer.ckpt.save("epoch_1", state)
+    assert trainer.ckpt.latest_path() == full
+
+
+def test_fit_writes_best_tags_and_last_snapshot(tmp_path):
+    cfg = _cfg(tmp_path, epochs=2)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    ds = SyntheticDataset(n=8, image_size=(32, 32), seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    state, _ = trainer.fit(loader, loader, loader, log=lambda *a: None)
+
+    root = os.path.join(cfg.save_dir, "unet")
+    best = os.path.join(root, "unet_best")
+    last = os.path.join(root, "unet_last")
+    assert os.path.isdir(best) and is_weights_only(best)
+    assert os.path.isdir(last) and not is_weights_only(last)
+
+    # the final snapshot resumes exactly; the best tag loads weights
+    template = Trainer(cfg, mesh=create_mesh(1, 1)).init_state(steps_per_epoch=2)
+    resumed = trainer.ckpt.restore(last, template)
+    assert int(resumed.step) == int(state.step)
+    trainer.ckpt.restore_params(best, template)  # must not raise
