@@ -99,6 +99,24 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
     # without cross-host reassembly.
     from eelunet_tpu.parallel.distributed import process_shard_spec
 
+    if d.device_cache and process_shard_spec() is None:
+        # Whole-dataset HBM residency: batches are on-device gathers
+        # (data/device_cache.py). Multi-host keeps the per-process slices
+        # of the threaded loader below.
+        from eelunet_tpu.data.device_cache import DeviceCache, DeviceCachedLoader
+
+        full_c = DeviceCache(full, d.device_cache_max_gb)
+        test_c = DeviceCache(test, d.device_cache_max_gb)
+        mkc = lambda c, idx, shuffle: DeviceCachedLoader(
+            c, d.batch_size, shuffle=shuffle, seed=seed,
+            drop_remainder=d.drop_remainder and shuffle, indices=idx,
+        )
+        return (
+            mkc(full_c, tr_idx, True),
+            mkc(full_c, va_idx, False),
+            mkc(test_c, None, False),
+        )
+
     mk = lambda ds, idx, shuffle: DataLoader(
         ds, d.batch_size, shuffle=shuffle, seed=seed,
         drop_remainder=(d.drop_remainder and shuffle) or (shuffle and process_shard_spec() is not None),

@@ -40,6 +40,12 @@ class DataConfig:
     # fusion). Measured on the axon tunnel: H2D streaming dominates epoch
     # overhead at 256^2 (docs/PERF.md epoch breakdown).
     uint8_feed: bool = True
+    # Upload the whole dataset to device HBM once and gather batches on
+    # device — per-epoch H2D drops to index bytes. The 512^2 wall on the
+    # axon tunnel is H2D bandwidth even with uint8_feed (docs/PERF.md);
+    # reference-scale segmentation sets fit HBM easily. Single-host only.
+    device_cache: bool = False
+    device_cache_max_gb: float = 4.0
 
 
 @dataclass

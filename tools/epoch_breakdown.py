@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--model", default="eelunet")
     ap.add_argument("--data_dir", default="/tmp/ebreak_data")
+    ap.add_argument("--device_cache", action="store_true")
     args = ap.parse_args()
 
     from eelunet_tpu.cli.common import build_loaders
@@ -46,6 +47,7 @@ def main():
     cfg.data.data_dir = args.data_dir
     cfg.data.image_size = (args.image_size, args.image_size)
     cfg.data.batch_size = args.batch_size
+    cfg.data.device_cache = args.device_cache
     cfg.seed = 0
     trainer = Trainer(cfg, mesh=create_mesh(1, 1))
     train_loader, val_loader, test_loader = build_loaders(cfg)
