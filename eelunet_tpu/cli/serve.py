@@ -16,7 +16,10 @@ from eelunet_tpu.cli.common import base_parser, load_config
 
 def main(argv=None):
     p = base_parser("Serve segmentation over HTTP (micro-batched)")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--artifact", type=str, default="",
+                   help="serve a cli.export StableHLO artifact dir instead "
+                   "of a checkpoint (no model code needed)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--max_batch", type=int, default=16)
@@ -25,21 +28,36 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args)
 
-    from eelunet_tpu.inference import Predictor
     from eelunet_tpu.serving import SegmentationService, make_server
 
     d = cfg.data
-    predictor = Predictor(
-        cfg.model, checkpoint=args.checkpoint, threshold=args.threshold,
-        normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
-    )
+    if args.artifact:
+        from eelunet_tpu.export import ExportedModel
+
+        predictor = ExportedModel(args.artifact)
+        name = predictor.meta["model"]
+        image_size = tuple(predictor.meta["image_size"])
+        # coalesced batches can't exceed the largest exported bucket
+        args.max_batch = min(args.max_batch, max(predictor.meta["batch_sizes"]))
+    else:
+        if not args.checkpoint:
+            p.error("one of --checkpoint or --artifact is required")
+        from eelunet_tpu.inference import Predictor
+
+        predictor = Predictor(
+            cfg.model, checkpoint=args.checkpoint, threshold=args.threshold,
+            normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
+        )
+        name = cfg.model.name
+        image_size = d.image_size
     service = SegmentationService(
-        predictor, d.image_size, d.normalize_mean, d.normalize_std,
+        predictor, image_size, d.normalize_mean, d.normalize_std,
         max_batch=args.max_batch, window_ms=args.window_ms,
+        threshold=args.threshold,
     )
-    server = make_server(service, cfg.model.name, args.host, args.port)
-    h, w = d.image_size
-    print(f"serving {cfg.model.name} at {h}x{w} on "
+    server = make_server(service, name, args.host, args.port)
+    h, w = image_size
+    print(f"serving {name} at {h}x{w} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
     try:

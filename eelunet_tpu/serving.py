@@ -103,12 +103,19 @@ class SegmentationService:
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         max_batch: int = 16,
         window_ms: float = 5.0,
+        threshold: Optional[float] = None,
     ):
+        # ``predictor`` is anything with predict_proba(batch)->probs:
+        # inference.Predictor (checkpoint serving) or export.ExportedModel
+        # (StableHLO artifact serving, cli.serve --artifact).
         self.predictor = predictor
         self.image_size = tuple(image_size)
         self.mean = np.asarray(normalize_mean, np.float32)
         self.std = np.asarray(normalize_std, np.float32)
-        self.threshold = predictor.threshold
+        self.threshold = (
+            threshold if threshold is not None
+            else getattr(predictor, "threshold", 0.5)
+        )
         self.batcher = MicroBatcher(
             predictor.predict_proba, max_batch=max_batch, window_ms=window_ms
         )

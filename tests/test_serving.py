@@ -151,6 +151,28 @@ def test_predict_rejects_bad_input(served):
     assert code in (400, 500)
 
 
+def test_service_over_exported_artifact(tmp_path):
+    """SegmentationService accepts an ExportedModel (cli.serve --artifact):
+    checkpoint-free serving must match the live Predictor."""
+    from eelunet_tpu.config import ModelConfig
+    from eelunet_tpu.export import ExportedModel, export_model
+
+    out = str(tmp_path / "art")
+    export_model(ModelConfig(name="unet"), None, (32, 32), (1, 4), out,
+                 platforms=("cpu",))
+    service = SegmentationService(ExportedModel(out), (32, 32),
+                                  max_batch=4, window_ms=5.0)
+    try:
+        rng = np.random.default_rng(5)
+        u8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        probs = np.load(io.BytesIO(service.predict_npy(_npy(u8))))
+        want = Predictor(ModelConfig(name="unet"),
+                         bucket_batches=False).predict_proba(u8[None])
+        np.testing.assert_allclose(probs, want, atol=1e-6)
+    finally:
+        service.close()
+
+
 def test_concurrent_singles_coalesce(served):
     base, _, service = served
     before = service.batcher.batches
