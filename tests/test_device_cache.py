@@ -48,6 +48,28 @@ def test_memory_guard():
         DeviceCache(ds, max_gb=1e-9).arrays()
 
 
+def test_device_cache_composes_with_augment_chain(synthetic_tree, tmp_path):
+    """device_cache + add_canny_edge: cached uint8 batches flow through the
+    device augment chain (4-channel input) and train."""
+    from eelunet_tpu.cli.common import build_loaders
+    from eelunet_tpu.parallel.mesh import create_mesh
+    from eelunet_tpu.train.trainer import Trainer
+
+    cfg = apply_overrides(
+        TrainConfig(),
+        ["model.name=unet", "data.image_size=[32,32]", "data.batch_size=4",
+         f"data.data_dir={synthetic_tree}", "seed=0", "epochs=1",
+         f"save_dir={tmp_path}/ck", f"log_dir={tmp_path}/runs",
+         "snapshot_every=100", "data.device_cache=true",
+         "data.add_canny_edge=true"],
+    )
+    tr, va, te = build_loaders(cfg)
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    assert trainer.cfg.model.in_channels == 4
+    _, history = trainer.fit(tr, va, te, log=lambda *a: None)
+    assert np.isfinite(history["train_loss"][0])
+
+
 def test_build_loaders_device_cache_and_trajectory(synthetic_tree, tmp_path):
     """data.device_cache=true trains to the same loss trajectory as the
     streamed uint8 feed (same seed, same batches)."""
