@@ -42,11 +42,20 @@ def main(argv=None):
     else:
         if not args.checkpoint:
             p.error("one of --checkpoint or --artifact is required")
-        from eelunet_tpu.inference import Predictor
+        import jax
 
+        from eelunet_tpu.inference import Predictor
+        from eelunet_tpu.parallel.mesh import create_mesh
+
+        # multi-chip batch-parallel serving: --set mesh.data_axis=N (or the
+        # default -1 = all local devices when more than one is attached)
+        mesh = None
+        if len(jax.devices()) > 1 or cfg.mesh.data_axis > 1:
+            mesh = create_mesh(cfg.mesh.data_axis, 1)
         predictor = Predictor(
             cfg.model, checkpoint=args.checkpoint, threshold=args.threshold,
             normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
+            mesh=mesh,
         )
         name = cfg.model.name
         image_size = d.image_size

@@ -26,6 +26,7 @@ class Predictor:
         bucket_batches: bool = True,
         normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
         normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
+        mesh=None,
     ):
         """``bucket_batches`` pads each batch up to a bucket size before the
         jitted forward and slices the outputs back, so serving traffic with
@@ -37,16 +38,32 @@ class Predictor:
         power-of-two rule would nearly double compute and peak HBM for a
         batch of 65). Padding rows are zeros; their outputs are discarded.
         Disable for fixed-batch pipelines or when every row's latency
-        matters."""
+        matters.
+
+        ``mesh``: a `jax.sharding.Mesh` for multi-chip batch-parallel
+        serving — params/BN stats replicate, batches shard over all mesh
+        axes' 'data' dimension, and XLA runs each chip on its batch slice
+        (buckets round up to multiples of the data-axis size so shards stay
+        equal). Single-chip default when None."""
         self.model, self.meta = create_model(model_cfg)
         self.threshold = threshold
         self.bucket_batches = bucket_batches
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from eelunet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
+            self._replicated = replicated_sharding(mesh)
+            self._data_size = int(mesh.shape["data"])
         sample = jnp.zeros((1, 64, 64, model_cfg.in_channels), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), sample)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         if checkpoint:
             self.load(checkpoint)
+        if mesh is not None:
+            self._replicate_weights()
 
         mean = tuple(normalize_mean)
         std = tuple(normalize_std)
@@ -67,6 +84,12 @@ class Predictor:
 
         self._forward = _forward
 
+    def _replicate_weights(self):
+        """One-time placement: weights live replicated on every mesh device
+        so predict_proba never re-transfers them."""
+        self.params = jax.device_put(self.params, self._replicated)
+        self.batch_stats = jax.device_put(self.batch_stats, self._replicated)
+
     def load(self, checkpoint: str):
         """Restore weights (+BN stats) from an orbax checkpoint dir. Slim
         (physically pruned, prune_physical.save_slim) checkpoints are
@@ -84,26 +107,36 @@ class Predictor:
                 out_channels=getattr(self.model, "out_channels", 1),
                 dtype=self.model.dtype,
             )
-            return
-        from eelunet_tpu.train.checkpoint import warn_if_preformat
+        else:
+            from eelunet_tpu.train.checkpoint import warn_if_preformat
 
-        warn_if_preformat(os.path.abspath(checkpoint), type(self.model).__name__.lower())
-        tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
-        self.params = tree["params"]
-        self.batch_stats = tree["batch_stats"]
+            warn_if_preformat(os.path.abspath(checkpoint), type(self.model).__name__.lower())
+            tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
+            self.params = tree["params"]
+            self.batch_stats = tree["batch_stats"]
+        if self._batch_sharding is not None:
+            self._replicate_weights()
 
     def predict_proba(self, images: np.ndarray) -> np.ndarray:
         """(B,H,W,3) images -> (B,H,W,1) probabilities. Accepts either
         ImageNet-normalized float32 or raw uint8 (scaled + normalized on
         device; preferred for serving — 4x smaller transfers)."""
         b = int(images.shape[0])
+        target = b
         if self.bucket_batches and b > 0:
             # power of two up to 16; multiples of 16 above (<16 rows waste)
             target = 1 << (b - 1).bit_length() if b <= 16 else -(-b // 16) * 16
-            if target != b:
-                pad = np.zeros((target - b, *images.shape[1:]), dtype=images.dtype)
-                images = np.concatenate([np.asarray(images), pad], axis=0)
-        out = np.asarray(self._forward(self.params, self.batch_stats, jnp.asarray(images)))
+        if self._batch_sharding is not None and target > 0:
+            # equal per-chip shards on the mesh's data axis
+            target = -(-target // self._data_size) * self._data_size
+        if target != b:
+            pad = np.zeros((target - b, *images.shape[1:]), dtype=images.dtype)
+            images = np.concatenate([np.asarray(images), pad], axis=0)
+        if self._batch_sharding is not None:
+            x = jax.device_put(np.asarray(images), self._batch_sharding)
+        else:
+            x = jnp.asarray(images)
+        out = np.asarray(self._forward(self.params, self.batch_stats, x))
         return out[:b]
 
     def predict(self, images: np.ndarray) -> np.ndarray:

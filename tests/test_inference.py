@@ -45,6 +45,27 @@ def test_predictor_accepts_uint8():
     )
 
 
+def test_predictor_multichip_mesh_matches_single():
+    """Batch-parallel serving on a 4-device data mesh: outputs equal the
+    single-device predictor, and buckets round to equal per-chip shards."""
+    import jax
+
+    from eelunet_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices (virtual CPU mesh)")
+    mesh = create_mesh(4, 1)
+    sharded = Predictor(ModelConfig(name="unet"), mesh=mesh, bucket_batches=True)
+    single = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    single.params = jax.device_get(sharded.params)  # same weights
+    rng = np.random.default_rng(7)
+    for b in (3, 6):  # non-multiples of 4: pad to 4 and 8
+        u8 = rng.integers(0, 256, (b, 32, 32, 3), dtype=np.uint8)
+        got = sharded.predict_proba(u8)
+        assert got.shape == (b, 32, 32, 1)
+        np.testing.assert_allclose(got, single.predict_proba(u8), atol=1e-5)
+
+
 def test_predictor_matches_trainer_eval(tmp_path):
     cfg = apply_overrides(
         TrainConfig(),
