@@ -24,7 +24,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def run_seed(model: str, seed: int, image_size: int, epochs: int,
-             n_train: int, n_test: int, batch_size: int, dtype: str, lr: float):
+             n_train: int, n_test: int, batch_size: int, dtype: str, lr: float,
+             device_cache: bool = True):
     from eelunet_tpu.config import TrainConfig, apply_overrides
     from eelunet_tpu.data.pipeline import DataLoader
     from eelunet_tpu.data.synthetic import SyntheticDataset
@@ -47,9 +48,19 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
                              seed=seed, difficulty="hard")
     te_ds = SyntheticDataset(n=n_test, image_size=(image_size, image_size),
                              seed=seed + 100000, difficulty="hard")
-    tr = DataLoader(tr_ds, batch_size, shuffle=True, seed=seed, num_workers=2)
-    va = DataLoader(te_ds, batch_size, num_workers=2)
-    te = DataLoader(te_ds, batch_size, num_workers=2)
+    if device_cache:
+        # batches are bit-identical to the streamed loader (same shuffle
+        # keying, tests/test_device_cache.py); epochs run compute-bound
+        from eelunet_tpu.data.device_cache import DeviceCache, DeviceCachedLoader
+
+        tr_c, te_c = DeviceCache(tr_ds), DeviceCache(te_ds)
+        tr = DeviceCachedLoader(tr_c, batch_size, shuffle=True, seed=seed)
+        va = DeviceCachedLoader(te_c, batch_size)
+        te = DeviceCachedLoader(te_c, batch_size)
+    else:
+        tr = DataLoader(tr_ds, batch_size, shuffle=True, seed=seed, num_workers=2)
+        va = DataLoader(te_ds, batch_size, num_workers=2)
+        te = DataLoader(te_ds, batch_size, num_workers=2)
     trainer = Trainer(cfg)
     _, history = trainer.fit(tr, va, te, log=lambda *a: None)
     final = [m for m in history["metrics"] if m][-1]
@@ -68,12 +79,15 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--no_device_cache", action="store_true",
+                   help="stream batches from host instead of HBM residency")
     args = p.parse_args(argv)
 
     rows = []
     for seed in args.seeds:
         m = run_seed(args.model_type, seed, args.image_size, args.epochs,
-                     args.n_train, args.n_test, args.batch_size, args.dtype, args.lr)
+                     args.n_train, args.n_test, args.batch_size, args.dtype,
+                     args.lr, device_cache=not args.no_device_cache)
         rows.append((seed, m))
         print(f"seed {seed}: miou={m['miou']:.4f} mdice={m['mdice']:.4f} "
               f"dice={m['dice']:.4f} boundary_f1={m['boundary_f1']:.4f}", flush=True)
