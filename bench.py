@@ -184,7 +184,39 @@ def _cpu_baseline() -> float:
     return val
 
 
+def _device_init_watchdog(timeout_s: float = 900.0):
+    """Fail loudly instead of hanging forever when the TPU tunnel is wedged
+    (a killed client can leave the terminal unclaimable; make_c_api_client
+    then blocks indefinitely — docs/PERF.md measurement hazards)."""
+    import threading
+
+    done = threading.Event()
+
+    def init():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=init, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench: TPU backend init exceeded {timeout_s:.0f}s — tunnel "
+            "wedged/unreachable; reporting value 0",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "eelunet_512x512_inference",
+            "value": 0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0,
+        }))
+        os._exit(1)
+
+
 def main():
+    _device_init_watchdog()
     detail = {}
     tpu_ips, mem = _measure("eelunet", IMAGE, BATCH, ITERS, WARMUP, "bfloat16")
     detail[f"eelunet_{IMAGE}_bf16"] = tpu_ips
