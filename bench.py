@@ -191,21 +191,28 @@ def _device_init_watchdog(timeout_s: float = 900.0):
     import threading
 
     done = threading.Event()
+    failure = []
 
     def init():
-        import jax
+        try:
+            import jax
 
-        jax.devices()
-        done.set()
+            jax.devices()
+        except Exception as e:  # fast failure (e.g. libtpu version mismatch)
+            failure.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
 
     t = threading.Thread(target=init, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
-        print(
-            f"bench: TPU backend init exceeded {timeout_s:.0f}s — tunnel "
-            "wedged/unreachable; reporting value 0",
-            file=sys.stderr,
+    if not done.wait(timeout_s) or failure:
+        reason = (
+            failure[0]
+            if failure
+            else f"init exceeded {timeout_s:.0f}s — tunnel wedged/unreachable"
         )
+        print(f"bench: TPU backend unavailable: {reason}; reporting value 0",
+              file=sys.stderr)
         print(json.dumps({
             "metric": "eelunet_512x512_inference",
             "value": 0,

@@ -47,7 +47,14 @@ def main(argv=None):
         print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
         print(f"Model: {cfg.model.name} (slim)")
         meta = MODEL_REGISTRY["eelunet" if type(model).__name__ == "EELUnet" else "unet"]
-        m = evaluate_params(model, meta, params, iter(loader), cfg.threshold, batch_stats=bstats)
+        # The slim path bypasses Trainer._device_batches, so apply the same
+        # device-side input chain here — with data.uint8_feed (default) the
+        # loader yields raw uint8 that must be scaled/normalized on device.
+        from eelunet_tpu.data.augment import make_input_preprocess
+
+        pre, _ = make_input_preprocess(d)
+        batches = (pre(x, y) for x, y in loader)
+        m = evaluate_params(model, meta, params, batches, cfg.threshold, batch_stats=bstats)
     else:
         mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
         trainer = Trainer(cfg, mesh=mesh)

@@ -60,7 +60,7 @@ def main(argv=None):
         name = cfg.model.name
         image_size = d.image_size
     service = SegmentationService(
-        predictor, image_size, d.normalize_mean, d.normalize_std,
+        predictor, image_size,
         max_batch=args.max_batch, window_ms=args.window_ms,
         threshold=args.threshold,
     )

@@ -56,18 +56,18 @@ def export_model(
         normalize_mean=tuple(normalize_mean), normalize_std=tuple(normalize_std),
     )
     h, w = image_size
-    mean = jnp.asarray(tuple(normalize_mean), jnp.float32)
-    std = jnp.asarray(tuple(normalize_std), jnp.float32)
+    mean = tuple(normalize_mean)
+    std = tuple(normalize_std)
     params, batch_stats = predictor.params, predictor.batch_stats
     model, meta = predictor.model, predictor.meta
 
+    from eelunet_tpu.data.augment import normalize_imagenet
     from eelunet_tpu.registry import seg_probabilities
 
     @jax.jit
     def forward(u8):
         # weights enter as closure constants: baked into the artifact
-        x = u8.astype(jnp.float32) / 255.0
-        x = (x - mean) / std
+        x = normalize_imagenet(u8.astype(jnp.float32) / 255.0, mean, std)
         vs = {"params": params}
         if batch_stats:
             vs["batch_stats"] = batch_stats
@@ -111,7 +111,15 @@ class ExportedModel:
                 self._fns[b] = jexport.deserialize(f.read())
 
     def predict_proba(self, images: np.ndarray) -> np.ndarray:
-        images = np.asarray(images, np.uint8)
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            # The artifact bakes u8/255 + ImageNet-normalize into the
+            # program; casting floats here would wrap negatives to ~255
+            # and silently produce garbage.
+            raise ValueError(
+                f"exported artifacts take uint8 images, got {images.dtype}; "
+                "pre-normalized float input needs the live Predictor"
+            )
         b = int(images.shape[0])
         buckets = [k for k in sorted(self._fns) if k >= b]
         if not buckets:

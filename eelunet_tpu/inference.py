@@ -67,6 +67,7 @@ class Predictor:
 
         mean = tuple(normalize_mean)
         std = tuple(normalize_std)
+        from eelunet_tpu.data.augment import normalize_imagenet
 
         @jax.jit
         def _forward(params, batch_stats, images):
@@ -74,8 +75,9 @@ class Predictor:
                 # uint8 serving input: scale + ImageNet-normalize on device
                 # (4x fewer host->device bytes than pre-normalized f32; same
                 # formula as the host path, docs/PERF.md epoch breakdown).
-                images = images.astype(jnp.float32) / 255.0
-                images = (images - jnp.asarray(mean)) / jnp.asarray(std)
+                images = normalize_imagenet(
+                    images.astype(jnp.float32) / 255.0, mean, std
+                )
             vs = {"params": params}
             if batch_stats:
                 vs["batch_stats"] = batch_stats

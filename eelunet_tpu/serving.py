@@ -26,7 +26,7 @@ import threading
 import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -99,19 +99,17 @@ class SegmentationService:
         self,
         predictor,
         image_size: Tuple[int, int],
-        normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
-        normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         max_batch: int = 16,
         window_ms: float = 5.0,
         threshold: Optional[float] = None,
     ):
         # ``predictor`` is anything with predict_proba(batch)->probs:
         # inference.Predictor (checkpoint serving) or export.ExportedModel
-        # (StableHLO artifact serving, cli.serve --artifact).
+        # (StableHLO artifact serving, cli.serve --artifact). Normalization
+        # happens inside the predictor (on device / baked into the
+        # artifact), never here.
         self.predictor = predictor
         self.image_size = tuple(image_size)
-        self.mean = np.asarray(normalize_mean, np.float32)
-        self.std = np.asarray(normalize_std, np.float32)
         self.threshold = (
             threshold if threshold is not None
             else getattr(predictor, "threshold", 0.5)
@@ -152,12 +150,13 @@ class SegmentationService:
     def predict_npy(self, body: bytes, output: str = "proba") -> bytes:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
         batch = self._check_array(arr)
-        if batch.shape[0] == 1:
+        if batch.shape[0] == 1 and batch.dtype == np.uint8:
             probs = self.batcher.submit(batch[0]).result()[None]
         else:
-            # caller already batched: run directly, keep the batcher for
-            # singles (stacking a pre-batched request into others would
-            # reorder rows)
+            # Pre-batched requests run directly (stacking them into other
+            # requests would reorder rows). Float singles do too: coalescing
+            # a float row with queued uint8 rows would promote the stack to
+            # float32 and skip the uint8 rows' on-device scale+normalize.
             probs = self.predictor.predict_proba(batch)
         if output == "mask":
             probs = (probs > self.threshold).astype(np.float32)

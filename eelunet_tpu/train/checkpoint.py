@@ -100,9 +100,16 @@ class CheckpointManager:
 
     def save_to(self, path: str, state, force: bool = True) -> str:
         """Save to an explicit directory path (outside the tag namespace)."""
+        from eelunet_tpu.parallel.distributed import is_primary
+
         self._ckptr.save(path, self._state_tree(state), force=force)
         self._ckptr.wait_until_finished()
-        write_format_meta(path)
+        # Orbax's save is collective (every process calls it; orbax elects
+        # the writer) — but the sidecar write is plain fs mutation, so only
+        # host 0 performs it (two hosts racing remove+write the same file
+        # can throw FileNotFoundError).
+        if is_primary():
+            write_format_meta(path)
         return path
 
     def save_weights_tags(self, tags, state) -> list:
@@ -117,19 +124,28 @@ class CheckpointManager:
         weights-only dirs)."""
         import shutil
 
+        from eelunet_tpu.parallel.distributed import is_primary
+
+        primary = is_primary()
         paths = []
         first = None
         for tag in tags:
             path = os.path.join(self.root, f"{self.model_name}_{tag}")
             if first is None:
+                # Collective: every process calls save (orbax's multihost
+                # protocol elects the writer and barriers internally).
                 self._ckptr.save(path, self._weights_tree(state), force=True)
                 self._ckptr.wait_until_finished()
                 first = path
-            else:
+            elif primary:
+                # The hardlink dedup copies and sidecars are plain fs
+                # mutations — primary host only, or N hosts race the same
+                # rmtree/copytree on shared storage.
                 if os.path.exists(path):
                     shutil.rmtree(path)
                 shutil.copytree(first, path, copy_function=os.link)
-            write_format_meta(path, weights_only=True)
+            if primary:
+                write_format_meta(path, weights_only=True)
             paths.append(path)
         return paths
 

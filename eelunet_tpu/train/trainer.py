@@ -435,9 +435,12 @@ class Trainer:
                 with open(json_path, "w") as f:
                     json.dump(history, f, indent=2)
 
-        if cfg.epochs > 0:
+        if cfg.epochs > 0 and cfg.epochs % cfg.snapshot_every != 0:
             # Final full snapshot: with best tags weights-only, this (plus
             # the periodic epoch_N saves) is what resume_from=auto targets.
+            # Skipped when the final epoch already wrote its epoch_N snapshot
+            # (an identical full save — `last` would double the device fetch
+            # and disk for nothing; latest_path finds epoch_N by mtime).
             self.ckpt.save("last", state)
         log(
             "Training complete. Best: "

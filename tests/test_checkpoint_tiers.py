@@ -83,3 +83,20 @@ def test_fit_writes_best_tags_and_last_snapshot(tmp_path):
     resumed = trainer.ckpt.restore(last, template)
     assert int(resumed.step) == int(state.step)
     trainer.ckpt.restore_params(best, template)  # must not raise
+
+
+def test_fit_skips_last_when_final_epoch_snapshotted(tmp_path):
+    """If the final epoch writes its periodic epoch_N snapshot, `last` would
+    be an identical full save — fit skips it and resume-auto finds epoch_N."""
+    cfg = _cfg(tmp_path, epochs=2)
+    cfg.snapshot_every = 2
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    ds = SyntheticDataset(n=8, image_size=(32, 32), seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    trainer.fit(loader, loader, loader, log=lambda *a: None)
+
+    root = os.path.join(cfg.save_dir, "unet")
+    assert not os.path.exists(os.path.join(root, "unet_last"))
+    epoch2 = os.path.join(root, "unet_epoch_2")
+    assert os.path.isdir(epoch2) and not is_weights_only(epoch2)
+    assert trainer.ckpt.latest_path() == epoch2
