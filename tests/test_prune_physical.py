@@ -259,3 +259,26 @@ def test_eelunet_param_shrink_and_roundtrip(tmp_path, eelunet_setup):
     model2, params2, bstats2 = load_slim(str(tmp_path / "eslim"))
     got = model2.apply({"params": params2, "batch_stats": bstats2}, x, train=False).seg
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_cli_evaluate_slim_uint8_feed_matches_float(tmp_path, unet_setup, synthetic_tree):
+    """Regression: the slim evaluate path bypasses Trainer._device_batches, so
+    cli.evaluate must apply the device-side preprocess chain itself — with the
+    default uint8 feed, raw 0-255 batches once reached the slim model
+    un-normalized and every metric silently shifted."""
+    from eelunet_tpu.cli import evaluate as cli_evaluate
+
+    _, params, _ = unet_setup
+    masks, _ = compute_prune_masks(params, 0.5, zero_bias=True)
+    slim_params, widths = physical_prune_unet(apply_masks(params, masks), 0.5)
+    ckpt = save_slim(str(tmp_path / "slim"), slim_params, widths)
+
+    common = [
+        "--model_type", "unet", "--data_dir", synthetic_tree, "--image_size", "64",
+        "--batch_size", "4", "--checkpoint", ckpt,
+        "--save_dir", str(tmp_path / "ckpts"),
+    ]
+    m_u8 = cli_evaluate.main(common)  # data.uint8_feed defaults true
+    m_f32 = cli_evaluate.main(common + ["--set", "data.uint8_feed=false"])
+    for k in m_f32:
+        np.testing.assert_allclose(m_u8[k], m_f32[k], atol=1e-3, err_msg=k)
