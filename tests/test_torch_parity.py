@@ -189,3 +189,62 @@ def test_unetpp_is_unsupported():
     so no reference checkpoint can exist; the importer must say so."""
     with pytest.raises(KeyError, match="unet"):
         port_state_dict("unet++", {})
+
+
+def test_reference_evaluate_metric_parity(tmp_path, synthetic_tree):
+    """North star: Dice/IoU within 0.5% of the PyTorch reference. Same
+    weights (torch EELUnet, ported via cli.import_torch), same images ->
+    the reference's own evaluate() (evaluate.py:62-124, incl. its cv2
+    boundary F1) and our cli.evaluate must agree on all 9 metrics.
+
+    The final 1x1 conv is scaled so sigmoid outputs saturate away from the
+    0.5 threshold — otherwise f32-rounding differences between frameworks
+    flip borderline pixels and the comparison measures noise, not wiring."""
+    from eelunet_tpu.cli import evaluate as cli_evaluate
+    from eelunet_tpu.cli import import_torch as cli_import
+    from eelunet_tpu.cli.common import make_folder_dataset
+    from eelunet_tpu.config import DataConfig
+    from eelunet_tpu.data.pipeline import DataLoader as JaxLoader
+
+    ref_eval = load_reference_module("evaluate")
+    ref_mod = load_reference_module("models.EELUnet")
+    torch.manual_seed(3)
+    tm = ref_mod.EELUnet(in_channels=3, out_channels=1).eval()
+    with torch.no_grad():
+        tm.final[1].weight.mul_(25.0)
+        tm.final[1].bias.mul_(25.0)
+
+    pth = tmp_path / "eelunet_ref.pth"
+    torch.save(tm.state_dict(), str(pth))
+    out_dir = tmp_path / "imported"
+    cli_import.main([
+        "--model_type", "eelunet", "--checkpoint", str(pth),
+        "--output", str(out_dir), "--image_size", "64",
+        "--save_dir", str(tmp_path / "ckpts"),
+    ])
+
+    ours = cli_evaluate.main([
+        "--model_type", "eelunet", "--data_dir", synthetic_tree,
+        "--image_size", "64", "--batch_size", "4", "--checkpoint", str(out_dir),
+        "--save_dir", str(tmp_path / "ckpts"),
+    ])
+
+    # Reference side: identical pixels — the same float-feed dataset the CLI's
+    # uint8 device chain reproduces (<=1e-6, tests/test_uint8_feed.py).
+    d = DataConfig(data_dir=synthetic_tree, image_size=(64, 64), uint8_feed=False)
+    loader = JaxLoader(make_folder_dataset(d, "test"), 4, drop_remainder=False)
+    tbatches = [
+        (torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+         torch.from_numpy(np.ascontiguousarray(y.transpose(0, 3, 1, 2))))
+        for x, y in loader
+    ]
+    with torch.no_grad():
+        ref = ref_eval.evaluate(tm, tbatches, torch.device("cpu"))
+
+    keys = ["pixel_accuracy", "precision", "recall", "f1_score", "iou",
+            "dice", "miou", "boundary_f1", "mdice"]
+    for k, want in zip(keys, ref):
+        np.testing.assert_allclose(ours[k], want, rtol=5e-3, atol=1e-6, err_msg=k)
+    # Guard against a degenerate comparison (all-0/all-1 predictions agree
+    # trivially): the random-weight model must produce a real confusion split.
+    assert 0.01 < ours["iou"] < 0.99 and 0.01 < ours["pixel_accuracy"] < 0.99
