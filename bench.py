@@ -219,6 +219,10 @@ def _device_init_watchdog(timeout_s: float = 900.0):
             "unit": "images/sec/chip",
             "vs_baseline": 0,
         }))
+        # stdout is block-buffered when piped (the normal harness setup);
+        # os._exit skips interpreter teardown, so flush or the line is lost.
+        sys.stdout.flush()
+        sys.stderr.flush()
         os._exit(1)
 
 

@@ -44,6 +44,16 @@ def main(argv=None):
     from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
 
     if is_slim_checkpoint(args.checkpoint):
+        from eelunet_tpu.cli.common import wants_raw_images
+
+        if wants_raw_images(cfg.data):
+            # Same guard as cli.evaluate: the canny augments append a 4th
+            # input channel, but slim checkpoints store 3-channel models —
+            # fail clearly instead of deep inside a conv shape mismatch.
+            raise ValueError(
+                "add_canny_edge/canny_enhance are not supported on the slim "
+                "(physically pruned) predict path; predict with the dense model."
+            )
         # Physically pruned unet: rebuild the slim module from widths.json.
         from eelunet_tpu.registry import MODEL_REGISTRY
 

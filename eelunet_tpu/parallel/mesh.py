@@ -49,10 +49,12 @@ def spatial_size(mesh: Mesh) -> int:
     return mesh.shape["spatial"] if "spatial" in mesh.axis_names else 1
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+def batch_sharding(mesh: Mesh, ndim: int = 4, with_spatial: bool = True) -> NamedSharding:
     """Shard batch over 'data' and (NHWC dim 1) image height over 'spatial'
-    when that axis is >1; replicate the rest."""
-    sp = "spatial" if ndim >= 2 and spatial_size(mesh) > 1 else None
+    when that axis is >1; replicate the rest. ``with_spatial=False`` shards
+    rows only (the fallback for image heights that don't divide the spatial
+    axis)."""
+    sp = "spatial" if with_spatial and ndim >= 2 and spatial_size(mesh) > 1 else None
     return NamedSharding(mesh, P("data", sp, *([None] * (ndim - 2))))
 
 

@@ -47,6 +47,12 @@ class MicroBatcher:
         self.window_s = float(window_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
+        # Serializes every device entry — the worker's coalesced batches AND
+        # run_direct calls from HTTP handler threads. Concurrent dispatch
+        # from multiple threads is exactly the JAX-runtime contention this
+        # module exists to prevent (and wedges the axon tunnel).
+        self._device_lock = threading.Lock()
         self.requests = 0
         self.batches = 0
         self.batched_items = 0
@@ -55,12 +61,31 @@ class MicroBatcher:
 
     def submit(self, image: np.ndarray) -> Future:
         fut: Future = Future()
-        self._q.put((image, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                fut.set_exception(RuntimeError("MicroBatcher is stopped"))
+                return fut
+            self._q.put((image, fut))
         return fut
 
+    def run_direct(self, batch: np.ndarray) -> np.ndarray:
+        """Run a pre-assembled batch under the device lock (bypasses
+        coalescing but not the single-device-owner invariant)."""
+        with self._device_lock:
+            return self._run(batch)
+
     def stop(self):
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._worker.join(timeout=5)
+        # Fail anything still queued — otherwise waiters block forever in
+        # Future.result() (submit() rejects new work once _stop is set).
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("MicroBatcher stopped before request ran"))
 
     def _loop(self):
         while not self._stop.is_set():
@@ -84,7 +109,8 @@ class MicroBatcher:
             self.batches += 1
             self.batched_items += len(items)
             try:
-                out = self._run(np.stack(images))
+                with self._device_lock:
+                    out = self._run(np.stack(images))
                 for i, f in enumerate(futs):
                     f.set_result(out[i])
             except Exception as e:  # propagate to every waiter in the batch
@@ -157,7 +183,8 @@ class SegmentationService:
             # requests would reorder rows). Float singles do too: coalescing
             # a float row with queued uint8 rows would promote the stack to
             # float32 and skip the uint8 rows' on-device scale+normalize.
-            probs = self.predictor.predict_proba(batch)
+            # run_direct still serializes on the batcher's device lock.
+            probs = self.batcher.run_direct(batch)
         if output == "mask":
             probs = (probs > self.threshold).astype(np.float32)
         buf = io.BytesIO()

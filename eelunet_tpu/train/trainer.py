@@ -43,6 +43,36 @@ from eelunet_tpu.train.checkpoint import BestTracker, CheckpointManager
 from eelunet_tpu.train.state import TrainState, create_train_state
 
 
+def choose_batch_placement(local_rows: int, height: int, n_data: int,
+                           n_sp: int, process_count: int,
+                           loader_sharded: bool) -> str:
+    """Pick the mesh placement for one host-side batch: 'full' (rows over
+    'data', H over 'spatial'), 'rows' (rows only — H doesn't divide the
+    spatial axis), or 'replicate'.
+
+    Tail batches that don't divide the data axis (eval loaders never drop
+    samples) fall back to replication — slower for that one batch, metrics
+    stay exact. Replication is NEVER valid for a process-sharded loader
+    (each host holds a DIFFERENT slice; replicating would silently train
+    every host on its own data while XLA assumes one global batch), so that
+    combination is a hard error — the process-sharded train loader enforces
+    drop_remainder precisely to keep rows divisible.
+    """
+    global_rows = local_rows * (process_count if loader_sharded else 1)
+    rows_ok = global_rows % n_data == 0 and (loader_sharded or process_count == 1)
+    if rows_ok and height % n_sp == 0:
+        return "full"
+    if rows_ok:
+        return "rows"
+    if loader_sharded and process_count > 1:
+        raise ValueError(
+            f"process-sharded batch of {local_rows} local rows "
+            f"({global_rows} global) does not divide the data axis "
+            f"({n_data}) and cannot be replicated across processes"
+        )
+    return "replicate"
+
+
 def make_loss_fn(loss_name: str, loss_cfg, meta):
     base = L.LOSS_REGISTRY[loss_name]
 
@@ -271,8 +301,11 @@ class Trainer:
 
     # -- loops ---------------------------------------------------------------
     def _device_batches(self, loader: Iterable):
-        bs = batch_sharding(self.mesh)
-        rep = replicated_sharding(self.mesh)
+        shardings = {
+            "full": batch_sharding(self.mesh),
+            "rows": batch_sharding(self.mesh, with_spatial=False),
+            "replicate": replicated_sharding(self.mesh),
+        }
         n_data = self.mesh.shape["data"]
         n_sp = spatial_size(self.mesh)
         # Multi-host: a process-sharded loader yields this host's slice of
@@ -284,17 +317,11 @@ class Trainer:
         from eelunet_tpu.parallel.distributed import assemble_global_batch
 
         def shard_or_replicate(batch):
-            # Tail batches that don't divide the data axis (eval loaders never
-            # drop samples) can't be batch-sharded; replicate them instead —
-            # slower for that one batch, but metrics stay exact. Same fallback
-            # if image height doesn't divide the spatial axis.
-            global_rows = batch[0].shape[0] * (pc if loader_sharded else 1)
-            divisible = (
-                global_rows % n_data == 0
-                and batch[0].shape[1] % n_sp == 0
-                and (loader_sharded or pc == 1)
+            choice = choose_batch_placement(
+                batch[0].shape[0], batch[0].shape[1], n_data, n_sp,
+                pc, loader_sharded,
             )
-            sharding = bs if divisible else rep
+            sharding = shardings[choice]
             out = jax.tree_util.tree_map(
                 lambda a: assemble_global_batch(a, sharding), tuple(batch)
             )

@@ -31,9 +31,11 @@ PEAK_BF16_FLOPS: Dict[str, float] = {
 
 
 def peak_flops_for(device_kind: str) -> Optional[float]:
-    for k, v in PEAK_BF16_FLOPS.items():
+    # Longest prefix first: "TPU v5p" must win over "TPU v5", or v5p chips
+    # would match the v5e rate and overstate MFU ~2.3x.
+    for k in sorted(PEAK_BF16_FLOPS, key=len, reverse=True):
         if device_kind.lower().startswith(k.lower()):
-            return v
+            return PEAK_BF16_FLOPS[k]
     return None
 
 

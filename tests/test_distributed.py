@@ -117,3 +117,26 @@ def test_build_loaders_single_process_unaffected(synthetic_tree, tmp_path):
     ])
     tr, va, te = build_loaders(cfg)
     assert tr.process_shard is None and te.process_shard is None
+
+
+def test_choose_batch_placement():
+    """Placement selection incl. the multi-host corruption guard: a
+    process-sharded loader's batches must never be 'replicated' (each host
+    holds a different slice — replication would silently train every host on
+    its own data)."""
+    import pytest
+
+    from eelunet_tpu.train.trainer import choose_batch_placement as choose
+
+    # single process: full / rows-only / replicate fallbacks
+    assert choose(8, 64, 4, 2, 1, False) == "full"
+    assert choose(8, 66, 4, 4, 1, False) == "rows"      # H % spatial != 0
+    assert choose(7, 64, 4, 2, 1, False) == "replicate"  # ragged eval tail
+    # multi-host, process-sharded loader: 2 hosts x 4 local rows = 8 global
+    assert choose(4, 64, 8, 1, 2, True) == "full"
+    assert choose(4, 66, 8, 4, 2, True) == "rows"
+    with pytest.raises(ValueError, match="cannot be replicated"):
+        choose(3, 64, 8, 1, 2, True)  # 6 global rows over 8-way data axis
+    # multi-host, UNsharded loader (every host holds the full batch):
+    # replication is the only correct placement
+    assert choose(8, 64, 8, 1, 2, False) == "replicate"

@@ -193,3 +193,33 @@ def test_concurrent_singles_coalesce(served):
     assert all(r is not None and r.shape == (1, 32, 32, 1) for r in results)
     # 8 concurrent singles must not have taken 8 separate device batches
     assert service.batcher.batches - before < 8
+
+
+def test_microbatcher_stop_fails_pending_and_rejects_new():
+    """stop() must resolve queued futures (waiters would otherwise block
+    forever in Future.result()) and reject post-stop submissions."""
+    import threading
+
+    from eelunet_tpu.serving import MicroBatcher
+
+    release = threading.Event()
+
+    def slow_run(batch):
+        release.wait(timeout=10)
+        return batch.astype(np.float32)
+
+    b = MicroBatcher(slow_run, max_batch=2, window_ms=1.0)
+    first = b.submit(np.zeros((2, 2, 3), np.uint8))   # occupies the worker
+    import time as _t
+
+    _t.sleep(0.1)                                      # worker picks it up
+    queued = b.submit(np.ones((2, 2, 3), np.uint8))    # sits in the queue
+    release.set()
+    first.result(timeout=10)
+    b.stop()
+    late = b.submit(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(RuntimeError):
+        late.result(timeout=5)
+    # `queued` either ran before stop drained it or was failed by stop —
+    # it must be RESOLVED either way, never left pending.
+    assert queued.done()

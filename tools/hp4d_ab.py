@@ -2,9 +2,10 @@
 
 Measures (a) the isolated op at EELUnet's two call sites' shapes, and (b) the
 full EELUnet 512^2 bf16 forward (the headline bench configuration), with
-EELUNET_HP4D toggled via env before process start:
+EELUNET_HP4D toggled via env before process start (the 4D path is the
+DEFAULT in fft_pallas.py — the baseline must disable it explicitly):
 
-    python tools/hp4d_ab.py                # 3D baseline
+    EELUNET_HP4D=0 python tools/hp4d_ab.py # 3D baseline
     EELUNET_HP4D=1 python tools/hp4d_ab.py # 4D variant
 
 Interleave the two runs a few times (docs/PERF.md measurement discipline:
@@ -51,7 +52,10 @@ def main():
     from eelunet_tpu.ops.fft_pallas import high_pass_fft_pallas
     from eelunet_tpu.registry import create_model, seg_probabilities
 
-    mode = "4d" if os.environ.get("EELUNET_HP4D") == "1" else "3d"
+    # Mirror fft_pallas.py's dispatch: anything but "0" means the 4D path is
+    # live where eligible — labeling an unset env as "3d" would mislabel the
+    # default run and make the A/B compare the 4D path against itself.
+    mode = "3d" if os.environ.get("EELUNET_HP4D") == "0" else "4d"
     rng = np.random.default_rng(0)
     res = {"mode": mode}
 
