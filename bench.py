@@ -184,10 +184,13 @@ def _cpu_baseline() -> float:
     return val
 
 
-def _device_init_watchdog(timeout_s: float = 900.0):
+def _device_init_watchdog(timeout_s: float = 2700.0):
     """Fail loudly instead of hanging forever when the TPU tunnel is wedged
     (a killed client can leave the terminal unclaimable; make_c_api_client
-    then blocks indefinitely — docs/PERF.md measurement hazards)."""
+    then blocks indefinitely — docs/PERF.md measurement hazards). The budget
+    is generous on purpose: observed wedges clear when the server-side lease
+    expires, typically within 20-40 min — giving up at 15 min reports a
+    zero-value bench right before init would have succeeded."""
     import threading
 
     done = threading.Event()
@@ -205,7 +208,14 @@ def _device_init_watchdog(timeout_s: float = 900.0):
 
     t = threading.Thread(target=init, daemon=True)
     t.start()
-    if not done.wait(timeout_s) or failure:
+    waited = 0.0
+    while not done.wait(60.0):
+        waited += 60.0
+        if waited >= timeout_s:
+            break
+        print(f"bench: waiting on TPU device init ({waited:.0f}s; wedged "
+              f"leases usually clear within 20-40 min)", file=sys.stderr)
+    if not done.is_set() or failure:
         reason = (
             failure[0]
             if failure
@@ -227,6 +237,11 @@ def _device_init_watchdog(timeout_s: float = 900.0):
 
 
 def main():
+    # Persistent XLA compilation cache: repeat bench runs (same shapes) load
+    # compiled programs instead of re-paying the remote-compile minutes.
+    from eelunet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache("auto")
     _device_init_watchdog()
     detail = {}
     tpu_ips, mem = _measure("eelunet", IMAGE, BATCH, ITERS, WARMUP, "bfloat16")

@@ -47,7 +47,14 @@ def load_config(args) -> TrainConfig:
         ov.append(f"seed={args.seed}")
     if getattr(args, "save_dir", None) is not None:
         ov.append(f"save_dir={args.save_dir}")
-    return apply_overrides(cfg, ov)
+    cfg = apply_overrides(cfg, ov)
+    # Flip the persistent XLA compilation cache on before any CLI compiles —
+    # repeat invocations of the same program load instead of recompiling
+    # (minutes per train-step graph on remote-compile rigs, docs/PERF.md).
+    from eelunet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg.compile_cache)
+    return cfg
 
 
 def wants_raw_images(d) -> bool:

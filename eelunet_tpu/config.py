@@ -144,6 +144,10 @@ class TrainConfig:
                                       # xplane dump (SURVEY.md §5 tracing)
     log_every_steps: int = 50
     resume_from: str = ""             # checkpoint dir to resume full train state from
+    compile_cache: str = "auto"       # persistent XLA compilation cache directory:
+                                      # "auto" -> $EELUNET_COMPILE_CACHE or
+                                      # ~/.cache/eelunet_tpu/xla; "" disables
+                                      # (utils/compile_cache.py)
 
 
 def _to_dict(cfg: Any) -> Any:
