@@ -43,6 +43,15 @@ def pytest_configure(config):
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon_site" not in p
     )
+    # Persistent XLA compilation cache for the suite: the full run compiles
+    # hundreds of CPU programs on this 1-core host; repeat runs load them
+    # from disk instead. Fingerprint-keyed, so never stale; opt out with
+    # EELUNET_TEST_COMPILE_CACHE=0.
+    if os.environ.get("EELUNET_TEST_COMPILE_CACHE", "1") != "0":
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser(os.path.join("~", ".cache", "eelunet_tpu", "xla-tests")),
+        )
     args = list(config.invocation_params.args)
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
 

@@ -28,7 +28,16 @@ def test_resolve_spec(monkeypatch, tmp_path):
 def test_cache_populates_and_hits(tmp_path, monkeypatch):
     cache = tmp_path / "xla_cache"
     # Thresholds so even a toy program is cached (defaults skip sub-second
-    # compiles — the production graphs are all above them).
+    # compiles — the production graphs are all above them). Save/restore the
+    # REAL prior values: the conftest may have a suite-wide cache dir active.
+    prior = {
+        k: getattr(jax.config, k)
+        for k in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes",
+        )
+    }
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     try:
@@ -49,8 +58,8 @@ def test_cache_populates_and_hits(tmp_path, monkeypatch):
         assert set(os.listdir(cache)) == entries
         np.testing.assert_array_equal(first, again)
     finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 2**20)
+        for k, v in prior.items():
+            jax.config.update(k, v)
 
 
 def test_disabled_and_bad_dir(tmp_path):
