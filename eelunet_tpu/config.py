@@ -129,6 +129,10 @@ class TrainConfig:
     save_dir: str = "checkpoints"     # train.py:229
     log_dir: str = "runs"             # train.py:230
     snapshot_every: int = 10          # periodic ckpt (train.py:195-197)
+    keep_snapshots: int = 0           # retain only the newest N epoch_N full
+                                      # snapshots (0 = keep all, the
+                                      # reference's unbounded policy); best
+                                      # tags and 'last' are never pruned
     eval_every: int = 1               # full test-set eval per epoch (train.py:127)
     threshold: float = 0.5            # binarization threshold (evaluate.py:92)
     remat: bool = False               # jax.checkpoint the forward in train_step

@@ -24,6 +24,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
@@ -56,6 +57,11 @@ class MicroBatcher:
         self.requests = 0
         self.batches = 0
         self.batched_items = 0
+        # Bounded tail-latency samples: per-request wall latency (enqueue ->
+        # result set) and per-batch device time. Ring buffers so a long-lived
+        # server reports RECENT percentiles, not lifetime averages.
+        self.latency_ms: "deque" = deque(maxlen=2048)
+        self.device_ms: "deque" = deque(maxlen=2048)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -65,14 +71,20 @@ class MicroBatcher:
             if self._stop.is_set():
                 fut.set_exception(RuntimeError("MicroBatcher is stopped"))
                 return fut
-            self._q.put((image, fut))
+            self._q.put((image, fut, time.monotonic()))
         return fut
 
     def run_direct(self, batch: np.ndarray) -> np.ndarray:
         """Run a pre-assembled batch under the device lock (bypasses
         coalescing but not the single-device-owner invariant)."""
+        t0 = time.monotonic()
         with self._device_lock:
-            return self._run(batch)
+            td = time.monotonic()
+            out = self._run(batch)
+        now = time.monotonic()
+        self.device_ms.append((now - td) * 1e3)
+        self.latency_ms.append((now - t0) * 1e3)
+        return out
 
     def stop(self):
         with self._submit_lock:
@@ -82,7 +94,7 @@ class MicroBatcher:
         # Future.result() (submit() rejects new work once _stop is set).
         while True:
             try:
-                _, fut = self._q.get_nowait()
+                _, fut, _ = self._q.get_nowait()
             except queue.Empty:
                 break
             fut.set_exception(RuntimeError("MicroBatcher stopped before request ran"))
@@ -103,15 +115,19 @@ class MicroBatcher:
                     items.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            images = [im for im, _ in items]
-            futs = [f for _, f in items]
+            images = [im for im, _, _ in items]
+            futs = [f for _, f, _ in items]
             self.requests += len(items)
             self.batches += 1
             self.batched_items += len(items)
             try:
+                td = time.monotonic()
                 with self._device_lock:
                     out = self._run(np.stack(images))
-                for i, f in enumerate(futs):
+                now = time.monotonic()
+                self.device_ms.append((now - td) * 1e3)
+                for (_, f, t0), i in zip(items, range(len(items))):
+                    self.latency_ms.append((now - t0) * 1e3)
                     f.set_result(out[i])
             except Exception as e:  # propagate to every waiter in the batch
                 for f in futs:
@@ -203,12 +219,23 @@ class SegmentationService:
 
     def stats(self) -> dict:
         b = self.batcher
+
+        def pct(samples, qs=(50, 95, 99)):
+            if not samples:
+                return None
+            arr = np.sort(np.asarray(list(samples), np.float64))
+            return {f"p{q}": round(float(np.percentile(arr, q)), 2) for q in qs}
+
         return {
             "requests": b.requests,
             "batches": b.batches,
             "avg_batch": round(b.batched_items / b.batches, 3) if b.batches else 0.0,
             "max_batch": b.max_batch,
             "window_ms": b.window_s * 1e3,
+            # Tail latency over the last <=2048 samples: request wall time
+            # (enqueue -> result) and per-batch device time.
+            "latency_ms": pct(b.latency_ms),
+            "device_ms": pct(b.device_ms),
         }
 
 

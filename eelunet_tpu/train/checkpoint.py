@@ -178,6 +178,33 @@ class CheckpointManager:
             tree = self._ckptr.restore(path, target=self._state_tree(state_template))
         return state_template.replace(params=tree["params"], batch_stats=tree["batch_stats"])
 
+    def prune_snapshots(self, keep: int) -> list:
+        """Delete all but the newest ``keep`` periodic ``{name}_epoch_N``
+        snapshots (by epoch number). Full snapshots carry the Adam moments —
+        3x the param bytes each — so an unbounded run (the reference keeps
+        every 10th-epoch .pth forever, train.py:195-197) grows disk without
+        bound; ``keep=0`` preserves that behavior. Only epoch_N dirs are
+        touched: best tags and ``last`` are never pruned. Primary host only
+        (plain fs mutation). Returns the deleted paths."""
+        import re
+        import shutil
+
+        from eelunet_tpu.parallel.distributed import is_primary
+
+        if keep <= 0 or not is_primary():
+            return []
+        pat = re.compile(re.escape(self.model_name) + r"_epoch_(\d+)$")
+        snaps = []
+        for d in os.listdir(self.root):
+            m = pat.match(d)
+            if m and os.path.isdir(os.path.join(self.root, d)):
+                snaps.append((int(m.group(1)), os.path.join(self.root, d)))
+        snaps.sort()
+        doomed = [p for _, p in snaps[:-keep]] if len(snaps) > keep else []
+        for p in doomed:
+            shutil.rmtree(p)
+        return doomed
+
     def latest_best_path(self) -> Optional[str]:
         p = os.path.join(self.root, f"{self.model_name}_best")
         return p if os.path.exists(p) else None

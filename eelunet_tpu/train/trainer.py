@@ -446,6 +446,7 @@ class Trainer:
             self.ckpt.save_weights_tags(self.best.update(metrics, val_loss), state)
             if (epoch + 1) % cfg.snapshot_every == 0:
                 self.ckpt.save(f"epoch_{epoch + 1}", state)
+                self.ckpt.prune_snapshots(cfg.keep_snapshots)
 
             dt = time.time() - t0
             log(

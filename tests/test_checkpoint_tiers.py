@@ -100,3 +100,41 @@ def test_fit_skips_last_when_final_epoch_snapshotted(tmp_path):
     epoch2 = os.path.join(root, "unet_epoch_2")
     assert os.path.isdir(epoch2) and not is_weights_only(epoch2)
     assert trainer.ckpt.latest_path() == epoch2
+
+
+def test_prune_snapshots_retention(tmp_path):
+    """keep_snapshots bounds disk growth: only the newest N epoch_N FULL
+    snapshots survive (by epoch number, incl. N>=10 vs N=9 ordering); best
+    tags and `last` are never pruned; keep=0 = reference's unbounded policy."""
+    trainer = Trainer(_cfg(tmp_path), mesh=create_mesh(1, 1))
+    state = trainer.init_state()
+    for n in (1, 2, 9, 10, 11):
+        trainer.ckpt.save(f"epoch_{n}", state)
+    trainer.ckpt.save_weights_tags(["best_dice"], state)
+    trainer.ckpt.save("last", state)
+
+    assert trainer.ckpt.prune_snapshots(0) == []          # keep-all
+    doomed = trainer.ckpt.prune_snapshots(2)
+    root = trainer.ckpt.root
+    assert sorted(os.path.basename(p) for p in doomed) == [
+        "unet_epoch_1", "unet_epoch_2", "unet_epoch_9"]
+    kept = sorted(d for d in os.listdir(root))
+    assert "unet_epoch_10" in kept and "unet_epoch_11" in kept
+    assert "unet_best_dice" in kept and "unet_last" in kept
+    # idempotent once under the bound
+    assert trainer.ckpt.prune_snapshots(2) == []
+
+
+def test_fit_honors_keep_snapshots(tmp_path):
+    cfg = _cfg(tmp_path, epochs=3)
+    cfg.snapshot_every = 1
+    cfg.keep_snapshots = 1
+    trainer = Trainer(cfg, mesh=create_mesh(1, 1))
+    ds = SyntheticDataset(n=8, image_size=(32, 32), seed=0)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    trainer.fit(loader, loader, loader, log=lambda *a: None)
+    root = os.path.join(cfg.save_dir, "unet")
+    snaps = [d for d in os.listdir(root) if "_epoch_" in d]
+    assert snaps == ["unet_epoch_3"]
+    # resume-auto still finds the surviving snapshot
+    assert trainer.ckpt.latest_path() == os.path.join(root, "unet_epoch_3")

@@ -223,3 +223,22 @@ def test_microbatcher_stop_fails_pending_and_rejects_new():
     # `queued` either ran before stop drained it or was failed by stop —
     # it must be RESOLVED either way, never left pending.
     assert queued.done()
+
+
+def test_latency_percentiles_reported(served):
+    """After traffic, /v1/stats must report request-latency and device-time
+    percentiles (recent-window tail latency, a serving SLO surface the
+    offline reference has no equivalent for)."""
+    base, _, service = served
+    x = np.random.default_rng(3).integers(0, 255, (1, 32, 32, 3), np.uint8)
+    for _ in range(3):
+        status, _, _ = _post(base + "/v1/predict", _npy(x))
+        assert status == 200
+    with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+        s = json.loads(r.read())
+    for key in ("latency_ms", "device_ms"):
+        p = s[key]
+        assert p is not None and set(p) == {"p50", "p95", "p99"}
+        assert 0.0 <= p["p50"] <= p["p95"] <= p["p99"]
+    # wall latency includes the device time it wraps
+    assert s["latency_ms"]["p50"] >= s["device_ms"]["p50"] * 0.5
