@@ -69,6 +69,14 @@ def main(argv=None):
     print(f"serving {name} at {h}x{w} on "
           f"http://{server.server_address[0]}:{server.server_address[1]} "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
+    # Orchestrators stop containers with SIGTERM: convert it to the same
+    # graceful path as ^C (stop accepting, drain the batcher queue).
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
