@@ -54,7 +54,8 @@ def main(argv=None):
 
         pre, _ = make_input_preprocess(d)
         batches = (pre(x, y) for x, y in loader)
-        m = evaluate_params(model, meta, params, batches, cfg.threshold, batch_stats=bstats)
+        m = evaluate_params(model, meta, params, batches, cfg.threshold,
+                            batch_stats=bstats, tta=cfg.tta)
     else:
         mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
         trainer = Trainer(cfg, mesh=mesh)

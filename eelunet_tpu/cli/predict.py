@@ -87,8 +87,15 @@ def main(argv=None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, images, train=False)
-        return seg_probabilities(out, meta)
+
+        def fwd(x):
+            return seg_probabilities(model.apply(variables, x, train=False), meta)
+
+        if cfg.tta:
+            from eelunet_tpu.registry import tta_probabilities
+
+            return tta_probabilities(fwd, images)
+        return fwd(images)
 
     i = 0
     for images, _ in loader:

@@ -55,7 +55,7 @@ def main(argv=None):
         predictor = Predictor(
             cfg.model, checkpoint=args.checkpoint, threshold=args.threshold,
             normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
-            mesh=mesh,
+            mesh=mesh, tta=cfg.tta,
         )
         name = cfg.model.name
         image_size = d.image_size

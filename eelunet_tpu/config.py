@@ -32,6 +32,10 @@ class DataConfig:
     add_canny_edge: bool = False  # augmentation/AddCannyEdge.py
     canny_enhance: bool = False   # augmentation/CannyEnhance.py
     canny_enhance_alpha: float = 0.2
+    # Per-sample random H/V flips of (image, mask) inside the jitted train
+    # step — beyond-reference (its transform is Resize+ToTensor only,
+    # train.py:249-252); deterministic per (rng, step), exactly resumable.
+    random_flip: bool = False
     drop_remainder: bool = True   # static shapes for jit
     packed: bool = False          # data_dir points at a cli.pack output (memmaps)
     # Ship uint8 batches to the device and scale/normalize there (4x fewer
@@ -135,6 +139,10 @@ class TrainConfig:
                                       # tags and 'last' are never pruned
     eval_every: int = 1               # full test-set eval per epoch (train.py:127)
     threshold: float = 0.5            # binarization threshold (evaluate.py:92)
+    tta: bool = False                 # flip test-time augmentation at eval /
+                                      # predict / serve: average probabilities
+                                      # over the 4 H/W flip orientations
+                                      # (4x forward FLOPs; beyond-reference)
     remat: bool = False               # jax.checkpoint the forward in train_step
                                       # (trade FLOPs for HBM at large batch/res)
     accum_steps: int = 1              # gradient accumulation: micro-batches per

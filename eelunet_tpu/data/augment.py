@@ -67,6 +67,29 @@ def normalize_imagenet(
     return (images - m) / s
 
 
+def random_flip_batch(key: jax.Array, images: jnp.ndarray, labels: jnp.ndarray):
+    """Per-sample random horizontal/vertical flips, applied jointly to image
+    and mask (label-preserving for segmentation). Device-side and jit-safe:
+    both orientations are computed and selected per sample, so shapes stay
+    static. The reference has no training-time augmentation (its transform
+    is Resize+ToTensor only, train.py:249-252) — this is a beyond-reference
+    knob (``DataConfig.random_flip``), off by default.
+    """
+    kh, kw = jax.random.split(key)
+    b = images.shape[0]
+    fh = jax.random.bernoulli(kh, 0.5, (b,))
+    fw = jax.random.bernoulli(kw, 0.5, (b,))
+
+    def sel(flag, flipped, plain):
+        return jnp.where(flag.reshape((b,) + (1,) * (plain.ndim - 1)), flipped, plain)
+
+    images = sel(fh, jnp.flip(images, 1), images)
+    labels = sel(fh, jnp.flip(labels, 1), labels)
+    images = sel(fw, jnp.flip(images, 2), images)
+    labels = sel(fw, jnp.flip(labels, 2), labels)
+    return images, labels
+
+
 def make_augment_fn(data_cfg):
     """Build the jitted device-side input chain for a DataConfig, or None.
 

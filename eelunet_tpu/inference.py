@@ -27,6 +27,7 @@ class Predictor:
         normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
         normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
         mesh=None,
+        tta: bool = False,
     ):
         """``bucket_batches`` pads each batch up to a bucket size before the
         jitted forward and slices the outputs back, so serving traffic with
@@ -81,8 +82,17 @@ class Predictor:
             vs = {"params": params}
             if batch_stats:
                 vs["batch_stats"] = batch_stats
-            out = self.model.apply(vs, images, train=False)
-            return seg_probabilities(out, self.meta)
+
+            def fwd(x):
+                return seg_probabilities(self.model.apply(vs, x, train=False), self.meta)
+
+            if tta:
+                # Flip TTA (TrainConfig.tta): mean probability over the 4
+                # H/W flip orientations — 4x forward FLOPs in one program.
+                from eelunet_tpu.registry import tta_probabilities
+
+                return tta_probabilities(fwd, images)
+            return fwd(images)
 
         self._forward = _forward
 

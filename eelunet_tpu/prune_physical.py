@@ -433,14 +433,15 @@ def slim_eelunet(widths: Dict[str, int], out_channels: int = 1, mask_range: int 
 
 
 def evaluate_params(
-    model, meta, params, batches, threshold: float = 0.5, batch_stats=None
+    model, meta, params, batches, threshold: float = 0.5, batch_stats=None,
+    tta: bool = False,
 ) -> Dict[str, float]:
     """Full-metric evaluation of a bare (model, params) pair — same math as
     Trainer.evaluate (evaluate.py:62-124) without requiring a TrainState."""
     import jax.numpy as jnp
 
     from eelunet_tpu import metrics as M
-    from eelunet_tpu.registry import seg_probabilities
+    from eelunet_tpu.registry import seg_probabilities, tta_probabilities
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     variables = {"params": params}
@@ -450,8 +451,11 @@ def evaluate_params(
     # weights as jit ARGUMENTS, not closure constants (bench.py harness note)
     @jax.jit
     def step(vs, images, labels):
-        out = model.apply(vs, images, train=False)
-        return M.update_metrics(seg_probabilities(out, meta), labels, threshold)
+        def fwd(x):
+            return seg_probabilities(model.apply(vs, x, train=False), meta)
+
+        probs = tta_probabilities(fwd, images) if tta else fwd(images)
+        return M.update_metrics(probs, labels, threshold)
 
     acc = None
     for images, labels in batches:

@@ -136,3 +136,17 @@ def seg_probabilities(output: ModelOutput, meta: ModelMeta) -> jnp.ndarray:
     import jax
 
     return jax.nn.sigmoid(output.seg) if meta.seg_is_logits else output.seg
+
+
+def tta_probabilities(fwd, images: jnp.ndarray) -> jnp.ndarray:
+    """Flip test-time augmentation: average probabilities over the 4 H/W
+    flip orientations, un-flipping each prediction back. A beyond-reference
+    inference-time option (``TrainConfig.tta``) — 4x the forward FLOPs for a
+    small accuracy gain; probabilities are averaged (not logits), the common
+    segmentation-TTA convention. ``fwd``: (B,H,W,C) images -> (B,H,W,1)
+    probabilities (NHWC; axes 1/2 are H/W)."""
+    p = fwd(images)
+    p = p + jnp.flip(fwd(jnp.flip(images, 1)), 1)
+    p = p + jnp.flip(fwd(jnp.flip(images, 2)), 2)
+    p = p + jnp.flip(fwd(jnp.flip(images, (1, 2))), (1, 2))
+    return p / 4.0

@@ -38,7 +38,12 @@ from eelunet_tpu.parallel.mesh import (
     replicated_sharding,
     spatial_size,
 )
-from eelunet_tpu.registry import ModelOutput, create_model, seg_probabilities
+from eelunet_tpu.registry import (
+    ModelOutput,
+    create_model,
+    seg_probabilities,
+    tta_probabilities,
+)
 from eelunet_tpu.train.checkpoint import BestTracker, CheckpointManager
 from eelunet_tpu.train.state import TrainState, create_train_state
 
@@ -90,7 +95,18 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     accum_steps: int = 1,
+    random_flip: bool = False,
 ):
+    def maybe_flip(state: TrainState, images, labels):
+        if not random_flip:
+            return images, labels
+        # Deterministic per step and exactly resumable: the key derives from
+        # the checkpointed (rng, step), not from Python-side state.
+        from eelunet_tpu.data.augment import random_flip_batch
+
+        key = jax.random.fold_in(state.rng, state.step)
+        return random_flip_batch(key, images, labels)
+
     def apply_train(params, batch_stats, images):
         variables = {"params": params}
         if has_batch_stats:
@@ -113,11 +129,13 @@ def make_train_step(
         return loss, new_stats, grads
 
     def train_step(state: TrainState, images, labels):
+        images, labels = maybe_flip(state, images, labels)
         loss, new_stats, grads = grads_of(state.params, state.batch_stats, images, labels)
         new_state = state.apply_gradients(grads, new_stats)
         return new_state, loss
 
     def train_step_accum(state: TrainState, images, labels):
+        images, labels = maybe_flip(state, images, labels)
         # Gradient accumulation: split the global batch into `accum_steps`
         # micro-batches scanned sequentially — only ONE micro-batch's
         # activations are live at a time, so peak HBM scales with B/accum
@@ -161,13 +179,17 @@ def make_eval_loss_step(model, loss_fn, has_batch_stats: bool):
     return jax.jit(eval_loss_step)
 
 
-def make_eval_step(model, meta, has_batch_stats: bool, threshold: float = 0.5):
+def make_eval_step(model, meta, has_batch_stats: bool, threshold: float = 0.5,
+                   tta: bool = False):
     def eval_step(state: TrainState, images, labels):
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
-        output = model.apply(variables, images, train=False)
-        probs = seg_probabilities(output, meta)
+
+        def fwd(x):
+            return seg_probabilities(model.apply(variables, x, train=False), meta)
+
+        probs = tta_probabilities(fwd, images) if tta else fwd(images)
         return M.update_metrics(probs, labels, threshold)
 
     return jax.jit(eval_step)
@@ -289,11 +311,13 @@ class Trainer:
             fn = make_train_step(
                 train_model, self.loss_fn, has_bs, self.cfg.donate_buffers,
                 self.cfg.remat, self.cfg.accum_steps,
+                random_flip=self.cfg.data.random_flip,
             )
         elif name == "eval_loss":
             fn = make_eval_loss_step(self.model, self.loss_fn, has_bs)
         elif name == "eval":
-            fn = make_eval_step(self.model, self.meta, has_bs, self.cfg.threshold)
+            fn = make_eval_step(self.model, self.meta, has_bs, self.cfg.threshold,
+                                tta=self.cfg.tta)
         else:
             raise KeyError(name)
         self._steps[name] = fn
