@@ -101,6 +101,10 @@ class OptimizerConfig:
     lr_step_size: int = 30    # StepLR(step_size=30, gamma=0.5)
     lr_gamma: float = 0.5
     grad_clip_norm: float = 0.0  # 0 = off (reference has no clipping)
+    ema_decay: float = 0.0    # >0 keeps an EMA of params updated per step
+                              # (e.g. 0.999); fit saves it as the weights-only
+                              # '{name}_ema' tag for cli.evaluate/predict.
+                              # Beyond-reference; 0 = off.
 
 
 @dataclass

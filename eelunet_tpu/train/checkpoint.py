@@ -39,12 +39,14 @@ _INTERLEAVE_WARNING = (
 )
 
 
-def write_format_meta(path: str, weights_only: bool = False) -> None:
+def write_format_meta(path: str, weights_only: bool = False, ema: bool = False) -> None:
     import json
 
     meta = dict(FORMAT_META)
     if weights_only:
         meta["weights_only"] = True
+    if ema:
+        meta["ema"] = True  # the saved tree includes an ema_params entry
     target = os.path.join(path, _META_FILE)
     if os.path.exists(target):
         os.remove(target)  # break hardlinks (save_weights_tags dedup copies)
@@ -83,14 +85,22 @@ class CheckpointManager:
         self.model_name = model_name
         self._ckptr = ocp.StandardCheckpointer()
 
-    def _state_tree(self, state) -> Dict[str, Any]:
-        return {
+    def _state_tree(self, state, with_ema: Optional[bool] = None) -> Dict[str, Any]:
+        tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
             "rng": state.rng,
         }
+        has_ema = getattr(state, "ema_params", None) is not None
+        if with_ema is None:
+            with_ema = has_ema
+        if with_ema:
+            # Restore targets for pre-EMA checkpoints use the params
+            # structure as the template (values overwritten or discarded).
+            tree["ema_params"] = state.ema_params if has_ema else state.params
+        return tree
 
     def _weights_tree(self, state) -> Dict[str, Any]:
         return {"params": state.params, "batch_stats": state.batch_stats}
@@ -102,6 +112,7 @@ class CheckpointManager:
         """Save to an explicit directory path (outside the tag namespace)."""
         from eelunet_tpu.parallel.distributed import is_primary
 
+        has_ema = getattr(state, "ema_params", None) is not None
         self._ckptr.save(path, self._state_tree(state), force=force)
         self._ckptr.wait_until_finished()
         # Orbax's save is collective (every process calls it; orbax elects
@@ -109,7 +120,7 @@ class CheckpointManager:
         # host 0 performs it (two hosts racing remove+write the same file
         # can throw FileNotFoundError).
         if is_primary():
-            write_format_meta(path)
+            write_format_meta(path, ema=has_ema)
         return path
 
     def save_weights_tags(self, tags, state) -> list:
@@ -159,13 +170,35 @@ class CheckpointManager:
                 "restore_params/--checkpoint."
             )
         warn_if_preformat(path, self.model_name)
-        tree = self._ckptr.restore(path, target=self._state_tree(state_template))
+        ckpt_ema = bool(read_meta(path).get("ema"))
+        tmpl_ema = getattr(state_template, "ema_params", None) is not None
+        tree = self._ckptr.restore(
+            path, target=self._state_tree(state_template, with_ema=ckpt_ema)
+        )
+        ema = state_template.ema_params
+        if tmpl_ema and not ckpt_ema:
+            import warnings
+
+            warnings.warn(
+                f"{path} predates optimizer.ema_decay: initializing the EMA "
+                "from the restored params", stacklevel=2)
+            ema = tree["params"]
+        elif ckpt_ema and tmpl_ema:
+            ema = tree["ema_params"]
+        elif ckpt_ema and not tmpl_ema:
+            import warnings
+
+            warnings.warn(
+                f"{path} carries EMA params but optimizer.ema_decay is 0: "
+                "dropping them (set ema_decay>0 to keep updating the EMA)",
+                stacklevel=2)
         return state_template.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"],
             step=tree["step"],
             rng=tree["rng"],
+            ema_params=ema,
         )
 
     def restore_params(self, path: str, state_template):
@@ -175,7 +208,12 @@ class CheckpointManager:
         if is_weights_only(path):
             tree = self._ckptr.restore(path, target=self._weights_tree(state_template))
         else:
-            tree = self._ckptr.restore(path, target=self._state_tree(state_template))
+            tree = self._ckptr.restore(
+                path,
+                target=self._state_tree(
+                    state_template, with_ema=bool(read_meta(path).get("ema"))
+                ),
+            )
         return state_template.replace(params=tree["params"], batch_stats=tree["batch_stats"])
 
     def prune_snapshots(self, keep: int) -> list:

@@ -25,15 +25,27 @@ class TrainState:
     rng: jnp.ndarray
 
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Exponential moving average of params (optimizer.ema_decay > 0) — a
+    # beyond-reference accuracy knob: EMA weights typically evaluate better
+    # than the last iterate. None when disabled (kept out of checkpoints).
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
         return self.replace(
             params=new_params,
             batch_stats=new_batch_stats,
             opt_state=new_opt_state,
             step=self.step + 1,
+            ema_params=new_ema,
         )
 
 
@@ -93,6 +105,7 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(opt_cfg, steps_per_epoch)
+    decay = float(getattr(opt_cfg, "ema_decay", 0.0))
     return TrainState(
         params=params,
         batch_stats=batch_stats,
@@ -100,4 +113,6 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         rng=state_rng,
         tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if decay > 0 else None,
+        ema_decay=decay,
     )

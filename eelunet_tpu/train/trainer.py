@@ -286,6 +286,9 @@ class Trainer:
             step=rep,
             rng=rep,
             tx=state.tx,
+            # EMA mirrors the params' layout (same tree, same TP sharding)
+            ema_params=psh if state.ema_params is not None else None,
+            ema_decay=state.ema_decay,
         )
 
     def _get_step(self, name: str, state: TrainState):
@@ -494,6 +497,11 @@ class Trainer:
             # (an identical full save — `last` would double the device fetch
             # and disk for nothing; latest_path finds epoch_N by mtime).
             self.ckpt.save("last", state)
+        if cfg.epochs > 0 and getattr(state, "ema_params", None) is not None:
+            # Weights-only EMA tag: evaluate/predict/serve it like any best
+            # tag (--checkpoint .../{name}_ema). The EMA also lives in every
+            # full snapshot, so resume keeps averaging seamlessly.
+            self.ckpt.save_weights_tags(["ema"], state.replace(params=state.ema_params))
         log(
             "Training complete. Best: "
             + " ".join(f"{k}={v:.4f}" for k, v in self.best.best.items())
