@@ -25,7 +25,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def run_seed(model: str, seed: int, image_size: int, epochs: int,
              n_train: int, n_test: int, batch_size: int, dtype: str, lr: float,
-             device_cache: bool = True):
+             device_cache: bool = True, extra_set=()):
     from eelunet_tpu.config import TrainConfig, apply_overrides
     from eelunet_tpu.data.pipeline import DataLoader
     from eelunet_tpu.data.synthetic import SyntheticDataset
@@ -43,6 +43,7 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         "snapshot_every=1000000",
         "save_dir=/tmp/acc_bench_ckpt",
         "log_dir=/tmp/acc_bench_runs",
+        *extra_set,
     ])
     tr_ds = SyntheticDataset(n=n_train, image_size=(image_size, image_size),
                              seed=seed, difficulty="hard")
@@ -62,9 +63,13 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         va = DataLoader(te_ds, batch_size, num_workers=2)
         te = DataLoader(te_ds, batch_size, num_workers=2)
     trainer = Trainer(cfg)
-    _, history = trainer.fit(tr, va, te, log=lambda *a: None)
+    state, history = trainer.fit(tr, va, te, log=lambda *a: None)
     final = [m for m in history["metrics"] if m][-1]
     final["train_loss"] = history["train_loss"][-1]
+    if getattr(state, "ema_params", None) is not None:
+        # EMA weights evaluated with the same eval step (incl. tta if set)
+        ema_m = trainer.evaluate(state.replace(params=state.ema_params), te)
+        final.update({f"ema_{k}": v for k, v in ema_m.items()})
     return final
 
 
@@ -81,16 +86,24 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--no_device_cache", action="store_true",
                    help="stream batches from host instead of HBM residency")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   dest="extra_set",
+                   help="extra dotted config overrides, e.g. "
+                   "--set data.random_flip=true --set tta=true "
+                   "--set optimizer.ema_decay=0.999")
     args = p.parse_args(argv)
 
     rows = []
     for seed in args.seeds:
         m = run_seed(args.model_type, seed, args.image_size, args.epochs,
                      args.n_train, args.n_test, args.batch_size, args.dtype,
-                     args.lr, device_cache=not args.no_device_cache)
+                     args.lr, device_cache=not args.no_device_cache,
+                     extra_set=args.extra_set)
         rows.append((seed, m))
+        extra = (f" | ema: miou={m['ema_miou']:.4f} bf1={m['ema_boundary_f1']:.4f}"
+                 if "ema_miou" in m else "")
         print(f"seed {seed}: miou={m['miou']:.4f} mdice={m['mdice']:.4f} "
-              f"dice={m['dice']:.4f} boundary_f1={m['boundary_f1']:.4f}", flush=True)
+              f"dice={m['dice']:.4f} boundary_f1={m['boundary_f1']:.4f}{extra}", flush=True)
 
     print("\n| seed | mIoU | mDice | dice | boundary F1 |")
     print("|---|---|---|---|---|")
@@ -100,6 +113,7 @@ def main(argv=None):
         "model": args.model_type,
         "image_size": args.image_size,
         "epochs": args.epochs,
+        "overrides": list(args.extra_set),
         "seeds": {str(s): {k: round(float(v), 4) for k, v in m.items()} for s, m in rows},
     }
     print(json.dumps(summary))
