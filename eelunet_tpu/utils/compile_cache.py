@@ -54,7 +54,17 @@ def enable_compile_cache(spec: str = "auto") -> str:
         os.makedirs(path, exist_ok=True)
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", path)
+        if jax.config.jax_compilation_cache_dir != path:
+            jax.config.update("jax_compilation_cache_dir", path)
+            # The on-disk cache object is a process-level singleton pinned to
+            # the directory in use at first compile; without a reset, later
+            # config updates silently keep writing to the old directory.
+            try:
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
+            except Exception:
+                pass
         _enabled_dir = path
     except OSError:
         return _enabled_dir
