@@ -91,11 +91,9 @@ def main(argv=None):
         def fwd(x):
             return seg_probabilities(model.apply(variables, x, train=False), meta)
 
-        if cfg.tta:
-            from eelunet_tpu.registry import tta_probabilities
+        from eelunet_tpu.registry import predict_probabilities
 
-            return tta_probabilities(fwd, images)
-        return fwd(images)
+        return predict_probabilities(fwd, images, tta=cfg.tta)
 
     i = 0
     for images, _ in loader:

@@ -86,13 +86,11 @@ class Predictor:
             def fwd(x):
                 return seg_probabilities(self.model.apply(vs, x, train=False), self.meta)
 
-            if tta:
-                # Flip TTA (TrainConfig.tta): mean probability over the 4
-                # H/W flip orientations — 4x forward FLOPs in one program.
-                from eelunet_tpu.registry import tta_probabilities
+            # Flip TTA (TrainConfig.tta): mean probability over the 4 H/W
+            # flip orientations — 4x forward FLOPs in one program.
+            from eelunet_tpu.registry import predict_probabilities
 
-                return tta_probabilities(fwd, images)
-            return fwd(images)
+            return predict_probabilities(fwd, images, tta=tta)
 
         self._forward = _forward
 

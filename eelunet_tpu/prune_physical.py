@@ -441,7 +441,7 @@ def evaluate_params(
     import jax.numpy as jnp
 
     from eelunet_tpu import metrics as M
-    from eelunet_tpu.registry import seg_probabilities, tta_probabilities
+    from eelunet_tpu.registry import predict_probabilities, seg_probabilities
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
     variables = {"params": params}
@@ -454,7 +454,7 @@ def evaluate_params(
         def fwd(x):
             return seg_probabilities(model.apply(vs, x, train=False), meta)
 
-        probs = tta_probabilities(fwd, images) if tta else fwd(images)
+        probs = predict_probabilities(fwd, images, tta=tta)
         return M.update_metrics(probs, labels, threshold)
 
     acc = None

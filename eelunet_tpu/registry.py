@@ -138,6 +138,13 @@ def seg_probabilities(output: ModelOutput, meta: ModelMeta) -> jnp.ndarray:
     return jax.nn.sigmoid(output.seg) if meta.seg_is_logits else output.seg
 
 
+def predict_probabilities(fwd, images: jnp.ndarray, tta: bool = False) -> jnp.ndarray:
+    """Single entry point for probability prediction with optional flip TTA —
+    serve/predict/evaluate all route through here so TTA semantics cannot
+    diverge between surfaces. ``fwd``: images -> probabilities."""
+    return tta_probabilities(fwd, images) if tta else fwd(images)
+
+
 def tta_probabilities(fwd, images: jnp.ndarray) -> jnp.ndarray:
     """Flip test-time augmentation: average probabilities over the 4 H/W
     flip orientations, un-flipping each prediction back. A beyond-reference

@@ -82,6 +82,11 @@ class MicroBatcher:
             td = time.monotonic()
             out = self._run(batch)
         now = time.monotonic()
+        # Same counters as the coalesced path — /v1/stats must account for
+        # ALL traffic (pre-batched npy and float singles route through here).
+        self.requests += int(batch.shape[0])
+        self.batches += 1
+        self.batched_items += int(batch.shape[0])
         self.device_ms.append((now - td) * 1e3)
         self.latency_ms.append((now - t0) * 1e3)
         return out
@@ -223,8 +228,8 @@ class SegmentationService:
         def pct(samples, qs=(50, 95, 99)):
             if not samples:
                 return None
-            arr = np.sort(np.asarray(list(samples), np.float64))
-            return {f"p{q}": round(float(np.percentile(arr, q)), 2) for q in qs}
+            vals = np.percentile(np.asarray(list(samples), np.float64), qs)
+            return {f"p{q}": round(float(v), 2) for q, v in zip(qs, vals)}
 
         return {
             "requests": b.requests,

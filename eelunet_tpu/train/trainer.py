@@ -41,8 +41,8 @@ from eelunet_tpu.parallel.mesh import (
 from eelunet_tpu.registry import (
     ModelOutput,
     create_model,
+    predict_probabilities,
     seg_probabilities,
-    tta_probabilities,
 )
 from eelunet_tpu.train.checkpoint import BestTracker, CheckpointManager
 from eelunet_tpu.train.state import TrainState, create_train_state
@@ -189,7 +189,7 @@ def make_eval_step(model, meta, has_batch_stats: bool, threshold: float = 0.5,
         def fwd(x):
             return seg_probabilities(model.apply(variables, x, train=False), meta)
 
-        probs = tta_probabilities(fwd, images) if tta else fwd(images)
+        probs = predict_probabilities(fwd, images, tta=tta)
         return M.update_metrics(probs, labels, threshold)
 
     return jax.jit(eval_step)

@@ -60,6 +60,14 @@ def test_cache_populates_and_hits(tmp_path, monkeypatch):
     finally:
         for k, v in prior.items():
             jax.config.update(k, v)
+        # Re-point the process-level cache singleton back too — the config
+        # update alone leaves later suite compiles writing to this tmp dir.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
 
 
 def test_disabled_and_bad_dir(tmp_path):
