@@ -30,16 +30,67 @@ def save_mask(pred01: np.ndarray, path: str):
     Image.fromarray((pred01 * 255).astype(np.uint8), mode="L").save(path)
 
 
+def _predict_tiled(args, cfg):
+    """--tile mode: native-resolution masks via Predictor.predict_proba_tiled.
+
+    Images are NOT resized to data.image_size — each is decoded at its
+    original resolution and swept by fixed-shape overlapping tiles, so the
+    exported mask matches the source image pixel-for-pixel (the reference
+    can only emit masks at the training size, test.py:48-51)."""
+    from eelunet_tpu.cli.common import wants_raw_images
+    from eelunet_tpu.data.dataset import SegmentationFolderDataset
+    from eelunet_tpu.inference import Predictor
+
+    if wants_raw_images(cfg.data):
+        raise ValueError(
+            "add_canny_edge/canny_enhance are not supported with --tile "
+            "(the augment chain runs at the training resolution); predict "
+            "without tiling or disable the augment flags."
+        )
+    d = cfg.data
+    ds = SegmentationFolderDataset(
+        d.data_dir, args.split, image_size=None, as_uint8=True,
+        normalize_mean=d.normalize_mean, normalize_std=d.normalize_std,
+    )
+    predictor = Predictor(
+        cfg.model, checkpoint=args.checkpoint, threshold=cfg.threshold, tta=cfg.tta,
+        normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
+    )
+    out_dir = os.path.join(
+        args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(len(ds)):
+        image, _ = ds[i]
+        mask = predictor.predict_tiled(
+            image[None], tile=args.tile, overlap=args.tile_overlap
+        )
+        save_mask(mask[0, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"))
+    print(f"Saved {len(ds)} native-resolution masks to {out_dir}")
+    return out_dir
+
+
 def main(argv=None):
     p = base_parser("Run inference and export predicted masks as PNGs")
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--checkpoint", type=str, required=True)
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument(
+        "--tile", type=int, default=0,
+        help="sliding-window inference at NATIVE image resolution with this "
+        "tile size (0 = off, resize to data.image_size like the reference). "
+        "One compiled executable serves every input size.",
+    )
+    p.add_argument("--tile_overlap", type=int, default=64,
+                   help="overlap between adjacent tiles (blended seam-free)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
     if not os.path.exists(args.checkpoint):
         raise FileNotFoundError(f"Checkpoint not found: {args.checkpoint}")  # test.py:86
+
+    if args.tile:
+        return _predict_tiled(args, cfg)
 
     from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
 

@@ -132,7 +132,8 @@ class TrainConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
-    epochs: int = 100                 # train.py:226
+    epochs: int = 100                 # train.py:226; TOTAL target: a resumed
+                                      # run continues to this epoch count
     seed: Optional[int] = None        # train.py:232; None -> random like set_seed (train.py:24-33)
     save_dir: str = "checkpoints"     # train.py:229
     log_dir: str = "runs"             # train.py:230
@@ -159,7 +160,10 @@ class TrainConfig:
                                       # log_dir/<model>/profile — TB-viewable
                                       # xplane dump (SURVEY.md §5 tracing)
     log_every_steps: int = 50
-    resume_from: str = ""             # checkpoint dir to resume full train state from
+    resume_from: str = ""             # checkpoint dir ("auto" = newest) to resume
+                                      # the full train state from; continuation is
+                                      # EXACT: same batch order, flip RNG, schedule
+                                      # and best-tag marks as the uninterrupted run
     compile_cache: str = "auto"       # persistent XLA compilation cache directory:
                                       # "auto" -> $EELUNET_COMPILE_CACHE or
                                       # ~/.cache/eelunet_tpu/xla; "" disables

@@ -34,7 +34,7 @@ class SegmentationFolderDataset:
         self,
         data_dir: str,
         split: str = "train",
-        image_size: Tuple[int, int] = (256, 256),
+        image_size: Optional[Tuple[int, int]] = (256, 256),
         normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         normalize: bool = True,
@@ -52,7 +52,10 @@ class SegmentationFolderDataset:
         )
         # ToothDataset.py:31
         assert len(self.image_files) == len(self.mask_files), "Image and mask counts do not match!"
-        self.image_size = tuple(image_size)
+        # image_size=None keeps each sample at its NATIVE resolution (no
+        # resize) — used by tiled inference (cli.predict --tile); such
+        # datasets yield ragged shapes, so batch them one sample at a time.
+        self.image_size = tuple(image_size) if image_size is not None else None
         self.mean = np.asarray(normalize_mean, np.float32)
         self.std = np.asarray(normalize_std, np.float32)
         # normalize=False defers ImageNet normalization to the device — the
@@ -74,9 +77,10 @@ class SegmentationFolderDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         img = Image.open(os.path.join(self.image_dir, self.image_files[idx])).convert("RGB")
         mask = Image.open(os.path.join(self.mask_dir, self.mask_files[idx])).convert("L")
-        h, w = self.image_size
-        img = img.resize((w, h), Image.BILINEAR)
-        mask = mask.resize((w, h), Image.BILINEAR)
+        if self.image_size is not None:
+            h, w = self.image_size
+            img = img.resize((w, h), Image.BILINEAR)
+            mask = mask.resize((w, h), Image.BILINEAR)
         if self.as_uint8:
             return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)[..., None]
         x = np.asarray(img, np.float32) / 255.0            # (H, W, 3)

@@ -81,6 +81,11 @@ class DeviceCachedLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle key for the next pass (same contract as
+        data.pipeline.DataLoader.set_epoch — exact-resume batch order)."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Tuple[object, object]]:
         import jax.numpy as jnp
 

@@ -71,6 +71,16 @@ class DataLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle key for the NEXT iteration pass to ``epoch``.
+
+        The shuffle is keyed by ``seed + epoch`` (not by Python iteration
+        count alone), so a resumed run that calls ``set_epoch(k)`` replays
+        the exact batch order the uninterrupted run used at epoch ``k`` —
+        Trainer.fit does this every epoch (exact-resume contract,
+        tests/test_train_e2e.py::test_resume_exact_continuation)."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self.indices
         if self.shuffle:

@@ -152,3 +152,87 @@ class Predictor:
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Binary masks at the configured threshold."""
         return (self.predict_proba(images) > self.threshold).astype(np.float32)
+
+    def predict_proba_tiled(
+        self,
+        images: np.ndarray,
+        tile: int = 512,
+        overlap: int = 64,
+        tiles_per_batch: int = 16,
+    ) -> np.ndarray:
+        """Sliding-window inference at NATIVE resolution.
+
+        The reference downscales every image to the training size before
+        predicting (test.py:48-51) — masks for large scans lose boundary
+        detail. Here images of any size run through the fixed ``tile``-shaped
+        forward as overlapping windows, blended with a separable linear ramp
+        over the ``overlap`` margin (seam-free), so one compiled executable
+        (plus batch buckets) serves every input resolution — XLA recompiles
+        per shape, and a big-shape compile costs minutes through a remote
+        compile service, so arbitrary-resolution retracing is the TPU
+        anti-pattern this avoids. Peak HBM stays bounded by
+        ``tiles_per_batch`` tiles regardless of image size.
+
+        Windows at the right/bottom edge shift back inside the image (the
+        standard shifted-last-window rule), so every pixel is covered at the
+        model's trained scale. Accepts uint8 or normalized float32 like
+        predict_proba; returns (B, H, W, 1) float32 probabilities.
+        """
+        if not 0 <= overlap < tile:
+            raise ValueError(f"overlap {overlap} must be in [0, tile={tile})")
+        images = np.asarray(images)
+        b, h, w = images.shape[:3]
+        # Images smaller than the tile in either dim: reflect-pad up, crop back.
+        ph, pw = max(tile - h, 0), max(tile - w, 0)
+        if ph or pw:
+            images = np.pad(
+                images, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect"
+            )
+        hp, wp = images.shape[1:3]
+
+        stride = tile - overlap
+        ys = self._tile_origins(hp, tile, stride)
+        xs = self._tile_origins(wp, tile, stride)
+        ramp = self._blend_window(tile, overlap)  # (tile, tile, 1) float32
+
+        acc = np.zeros((b, hp, wp, 1), np.float32)
+        wsum = np.zeros((hp, wp, 1), np.float32)
+        tiles, origins = [], []
+        for y in ys:
+            for x in xs:
+                wsum[y : y + tile, x : x + tile] += ramp
+                for i in range(b):
+                    tiles.append(images[i, y : y + tile, x : x + tile])
+                    origins.append((i, y, x))
+        for start in range(0, len(tiles), tiles_per_batch):
+            chunk = np.stack(tiles[start : start + tiles_per_batch])
+            probs = self.predict_proba(chunk)
+            for (i, y, x), p in zip(origins[start : start + tiles_per_batch], probs):
+                acc[i, y : y + tile, x : x + tile] += p * ramp
+        return (acc / wsum)[:, :h, :w]
+
+    def predict_tiled(self, images: np.ndarray, **kw) -> np.ndarray:
+        """Binary masks from predict_proba_tiled at the configured threshold."""
+        return (self.predict_proba_tiled(images, **kw) > self.threshold).astype(np.float32)
+
+    @staticmethod
+    def _tile_origins(size: int, tile: int, stride: int):
+        if size <= tile:
+            return [0]
+        origins = list(range(0, size - tile + 1, stride))
+        if origins[-1] != size - tile:
+            origins.append(size - tile)
+        return origins
+
+    @staticmethod
+    def _blend_window(tile: int, overlap: int) -> np.ndarray:
+        """Separable blend weights: 1 in the tile interior, linearly ramping
+        to ~0 over the overlap margin. Strictly positive everywhere (border
+        tiles have no neighbor to hand off to; normalization by the weight
+        sum keeps those regions exact)."""
+        ramp1d = np.ones(tile, np.float32)
+        if overlap > 0:
+            edge = np.arange(1, overlap + 1, dtype=np.float32) / (overlap + 1)
+            ramp1d[:overlap] = edge
+            ramp1d[tile - overlap :] = edge[::-1]
+        return (ramp1d[:, None] * ramp1d[None, :])[..., None]

@@ -264,11 +264,37 @@ class CheckpointManager:
 
 
 class BestTracker:
-    """Best-per-metric tracking with the reference's save policy."""
+    """Best-per-metric tracking with the reference's save policy.
+
+    State round-trips through ``best_meta.json`` (save/load below) so a
+    resumed run keeps the uninterrupted run's high-water marks: without it,
+    a restart would re-save ``best_*`` tags for metrics worse than already
+    checkpointed (the reference cannot resume at all, SURVEY.md §5)."""
 
     def __init__(self):
         self.best = {m: 0.0 for m in BEST_METRICS}
         self.min_val_loss = float("inf")
+
+    def save(self, root: str) -> None:
+        import json
+
+        with open(os.path.join(root, "best_meta.json"), "w") as f:
+            json.dump({"best": self.best, "min_val_loss": self.min_val_loss}, f)
+
+    def load(self, root: str) -> bool:
+        """Restore high-water marks if a best_meta.json exists; returns
+        whether one was found."""
+        import json
+
+        try:
+            with open(os.path.join(root, "best_meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        self.best.update({m: float(v) for m, v in meta.get("best", {}).items()
+                          if m in self.best})
+        self.min_val_loss = float(meta.get("min_val_loss", float("inf")))
+        return True
 
     def update(self, metrics: Dict[str, float], val_loss: float):
         """Return the list of checkpoint tags to save this epoch."""

@@ -427,15 +427,34 @@ class Trainer:
         log=print,
     ) -> Tuple[TrainState, Dict[str, Any]]:
         cfg = self.cfg
+        steps_per_epoch = max(len(train_loader), 1)
         if state is None:
-            state = self.init_state(steps_per_epoch=max(len(train_loader), 1))
+            state = self.init_state(steps_per_epoch=steps_per_epoch)
+        start_epoch = 0
         if cfg.resume_from:
             target = cfg.resume_from
             if target == "auto":
                 target = self.ckpt.latest_path()
             if target:
                 state = self.ckpt.restore(target, state)
-                log(f"Resumed full train state from {target} at step {int(state.step)}")
+                # Exact continuation: `epochs` is the TOTAL target, not an
+                # increment — snapshots land on epoch boundaries, so the
+                # completed-epoch count is step/steps_per_epoch (one optimizer
+                # step per loader batch; accum_steps splits within a step).
+                # With set_epoch-pinned shuffle keys and the step-keyed flip
+                # RNG, the resumed trajectory is identical to an uninterrupted
+                # run (tests/test_train_e2e.py::test_resume_exact_continuation).
+                start_epoch = min(int(state.step) // steps_per_epoch, cfg.epochs)
+                self.best.load(self.ckpt.root)
+                log(
+                    f"Resumed full train state from {target} at step "
+                    f"{int(state.step)} — continuing at epoch "
+                    f"{start_epoch + 1}/{cfg.epochs}"
+                    if start_epoch < cfg.epochs
+                    else f"Resumed {target} at step {int(state.step)}: already "
+                    f"trained {start_epoch} epochs, target epochs={cfg.epochs} "
+                    "reached — nothing to do"
+                )
             else:
                 log("resume_from=auto: no checkpoint found, starting fresh")
 
@@ -454,9 +473,22 @@ class Trainer:
             logger = MetricLogger(run_dir)
         history = {"train_loss": [], "val_loss": [], "metrics": []}
         json_path = os.path.join(self.ckpt.root, "loss_history.json")
+        if start_epoch > 0 and os.path.exists(json_path):
+            # Continue the history of the interrupted run (truncated to the
+            # completed epochs, in case it died mid-write of a later epoch).
+            try:
+                with open(json_path) as f:
+                    prev = json.load(f)
+                history = {k: list(prev.get(k, []))[:start_epoch] for k in history}
+            except (OSError, ValueError):
+                pass
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
+            if hasattr(train_loader, "set_epoch"):
+                # Pin the shuffle key to the epoch number so resumed runs
+                # replay the uninterrupted run's batch order exactly.
+                train_loader.set_epoch(epoch)
             state, train_loss = self.train_one_epoch(state, train_loader)
             val_loss = self.val_one_epoch(state, val_loader)
             metrics = self.evaluate(state, test_loader) if (epoch + 1) % cfg.eval_every == 0 else {}
@@ -489,15 +521,16 @@ class Trainer:
             if primary:
                 with open(json_path, "w") as f:
                     json.dump(history, f, indent=2)
+                self.best.save(self.ckpt.root)
 
-        if cfg.epochs > 0 and cfg.epochs % cfg.snapshot_every != 0:
+        if cfg.epochs > start_epoch and cfg.epochs % cfg.snapshot_every != 0:
             # Final full snapshot: with best tags weights-only, this (plus
             # the periodic epoch_N saves) is what resume_from=auto targets.
             # Skipped when the final epoch already wrote its epoch_N snapshot
             # (an identical full save — `last` would double the device fetch
             # and disk for nothing; latest_path finds epoch_N by mtime).
             self.ckpt.save("last", state)
-        if cfg.epochs > 0 and getattr(state, "ema_params", None) is not None:
+        if cfg.epochs > start_epoch and getattr(state, "ema_params", None) is not None:
             # Weights-only EMA tag: evaluate/predict/serve it like any best
             # tag (--checkpoint .../{name}_ema). The EMA also lives in every
             # full snapshot, so resume keeps averaging seamlessly.

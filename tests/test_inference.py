@@ -92,3 +92,56 @@ def test_predictor_matches_trainer_eval(tmp_path):
     fresh = Predictor(ModelConfig(name="unet"))
     probs_fresh = fresh.predict_proba(x)
     assert not np.allclose(probs, probs_fresh)
+
+
+def test_predict_tiled_matches_full_when_tile_covers():
+    """A tile >= the image is one window: tiled == plain forward exactly
+    (the blend weight normalizes to 1 everywhere)."""
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        pred.predict_proba_tiled(x, tile=32, overlap=8),
+        pred.predict_proba(x),
+        atol=1e-6,
+    )
+
+
+def test_predict_tiled_native_resolution():
+    """Non-divisible native sizes are fully covered (shifted last window),
+    outputs are valid probabilities at the INPUT resolution, and uint8
+    input takes the device-normalize path like predict_proba."""
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (1, 50, 70, 3), dtype=np.uint8)
+    probs = pred.predict_proba_tiled(u8, tile=32, overlap=8)
+    assert probs.shape == (1, 50, 70, 1)
+    assert np.isfinite(probs).all()
+    assert 0.0 <= probs.min() and probs.max() <= 1.0
+    masks = pred.predict_tiled(u8, tile=32, overlap=8)
+    assert set(np.unique(masks)).issubset({0.0, 1.0})
+
+    # smaller-than-tile image: reflect-padded up, cropped back
+    small = rng.integers(0, 256, (1, 20, 24, 3), dtype=np.uint8)
+    out = pred.predict_proba_tiled(small, tile=32, overlap=8)
+    assert out.shape == (1, 20, 24, 1)
+
+    # blend normalization: identical probability tiles must reconstruct
+    # exactly (weighted average of equal values is that value) — seams
+    # introduce no scaling artifacts
+    win = Predictor._blend_window(32, 8)
+    assert win.shape == (32, 32, 1)
+    assert float(win.max()) <= 1.0 and float(win.min()) > 0.0
+    ys = Predictor._tile_origins(50, 32, 24)
+    assert ys[0] == 0 and ys[-1] == 50 - 32  # shifted last window
+    cover = np.zeros(50)
+    for y in ys:
+        cover[y : y + 32] += 1
+    assert (cover >= 1).all()
+
+
+def test_predict_tiled_rejects_bad_overlap():
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        pred.predict_proba_tiled(x, tile=32, overlap=32)

@@ -106,12 +106,58 @@ def test_resume_auto(tmp_path):
     step0 = int(state.step)
     assert trainer.ckpt.latest_path() is not None
 
-    # second run resumes from the newest checkpoint of the first
-    trainer2 = Trainer(cfg_auto, mesh=create_mesh(1, 1))
+    # second run with a HIGHER total-epoch target resumes from the newest
+    # checkpoint and trains only the remaining epochs
+    cfg_more = apply_overrides(cfg_auto, ["epochs=2"])
+    trainer2 = Trainer(cfg_more, mesh=create_mesh(1, 1))
     msgs2 = []
-    state2, _ = trainer2.fit(tr, va, te, log=msgs2.append)
+    state2, hist2 = trainer2.fit(tr, va, te, log=msgs2.append)
     assert any("Resumed full train state" in m for m in msgs2)
-    assert int(state2.step) > step0
+    assert int(state2.step) == 2 * step0  # exactly one more epoch ran
+
+    # target already reached: resuming again is a no-op
+    trainer3 = Trainer(cfg_more, mesh=create_mesh(1, 1))
+    msgs3 = []
+    state3, _ = trainer3.fit(tr, va, te, log=msgs3.append)
+    assert any("nothing to do" in m for m in msgs3)
+    assert int(state3.step) == int(state2.step)
+
+
+def test_resume_exact_continuation(tmp_path):
+    """Interrupted-and-resumed training is EXACTLY the uninterrupted run:
+    same shuffle order (set_epoch-pinned keys), same schedule (restored
+    step), same final params — the guarantee the reference cannot make
+    (it never persists optimizer state or epoch, SURVEY.md §5)."""
+    from eelunet_tpu.config import apply_overrides
+
+    # Run A: 4 epochs straight through.
+    cfgA = apply_overrides(_tiny_cfg(tmp_path / "A", epochs=4), ["snapshot_every=2"])
+    trA = Trainer(cfgA, mesh=create_mesh(1, 1))
+    stateA, histA = trA.fit(*_loaders(), log=lambda *a: None)
+
+    # Run B: 2 epochs (full snapshot at epoch 2), then resume to 4.
+    cfgB = apply_overrides(_tiny_cfg(tmp_path / "B", epochs=2), ["snapshot_every=2"])
+    Trainer(cfgB, mesh=create_mesh(1, 1)).fit(*_loaders(), log=lambda *a: None)
+    cfgB2 = apply_overrides(cfgB, ["epochs=4", "resume_from=auto"])
+    trB = Trainer(cfgB2, mesh=create_mesh(1, 1))
+    stateB, histB = trB.fit(*_loaders(), log=lambda *a: None)
+
+    assert int(stateB.step) == int(stateA.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stateA.params), jax.tree_util.tree_leaves(stateB.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stateA.opt_state),
+        jax.tree_util.tree_leaves(stateB.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # history continues across the restart: epochs 1-2 carried over from the
+    # interrupted run's loss_history.json, 3-4 identical to run A's
+    assert len(histB["train_loss"]) == 4
+    np.testing.assert_allclose(histB["train_loss"], histA["train_loss"], rtol=1e-6)
+    # best-tag high-water marks survive the restart
+    assert trB.best.min_val_loss <= min(histB["val_loss"][:2])
 
 
 def test_checkpoint_format_marker_and_preformat_warning(tmp_path):
