@@ -55,6 +55,7 @@ def _predict_tiled(args, cfg):
     predictor = Predictor(
         cfg.model, checkpoint=args.checkpoint, threshold=cfg.threshold, tta=cfg.tta,
         normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
+        quantize=args.quantize or None,
     )
     out_dir = os.path.join(
         args.results_dir, f"{cfg.model.name}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
@@ -83,6 +84,8 @@ def main(argv=None):
     )
     p.add_argument("--tile_overlap", type=int, default=64,
                    help="overlap between adjacent tiles (blended seam-free)")
+    p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
+                   help="int8: W8A8 dynamic-scale convs (eelunet_tpu.quantize)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -141,6 +144,11 @@ def main(argv=None):
 
         def fwd(x):
             return seg_probabilities(model.apply(variables, x, train=False), meta)
+
+        if args.quantize == "int8":
+            from eelunet_tpu.quantize import quantize_fn
+
+            fwd = quantize_fn(fwd)
 
         from eelunet_tpu.registry import predict_probabilities
 

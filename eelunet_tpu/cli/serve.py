@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--window_ms", type=float, default=5.0)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
+                   help="int8: W8A8 dynamic-scale convs (eelunet_tpu.quantize)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -32,6 +34,9 @@ def main(argv=None):
 
     d = cfg.data
     if args.artifact:
+        if args.quantize:
+            p.error("--quantize applies at trace time; StableHLO artifacts are "
+                    "already compiled — re-export or serve from a checkpoint")
         from eelunet_tpu.export import ExportedModel
 
         predictor = ExportedModel(args.artifact)
@@ -55,7 +60,7 @@ def main(argv=None):
         predictor = Predictor(
             cfg.model, checkpoint=args.checkpoint, threshold=args.threshold,
             normalize_mean=tuple(d.normalize_mean), normalize_std=tuple(d.normalize_std),
-            mesh=mesh, tta=cfg.tta,
+            mesh=mesh, tta=cfg.tta, quantize=args.quantize or None,
         )
         name = cfg.model.name
         image_size = d.image_size

@@ -28,6 +28,7 @@ class Predictor:
         normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
         mesh=None,
         tta: bool = False,
+        quantize: Optional[str] = None,
     ):
         """``bucket_batches`` pads each batch up to a bucket size before the
         jitted forward and slices the outputs back, so serving traffic with
@@ -40,6 +41,11 @@ class Predictor:
         batch of 65). Padding rows are zeros; their outputs are discarded.
         Disable for fixed-batch pipelines or when every row's latency
         matters.
+
+        ``quantize``: ``"int8"`` runs every dense conv as a W8A8 int8 MXU
+        conv with dynamic activation scales (eelunet_tpu.quantize — 2x MAC
+        throughput on int8-capable TPUs; small accuracy cost measured in
+        tests/test_quantize.py and docs/PERF.md). ``None`` = dense dtype.
 
         ``mesh``: a `jax.sharding.Mesh` for multi-chip batch-parallel
         serving — params/BN stats replicate, batches shard over all mesh
@@ -70,6 +76,10 @@ class Predictor:
         std = tuple(normalize_std)
         from eelunet_tpu.data.augment import normalize_imagenet
 
+        if quantize not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}; use 'int8'")
+        self.quantize = quantize if quantize in ("int8",) else None
+
         @jax.jit
         def _forward(params, batch_stats, images):
             if images.dtype == jnp.uint8:
@@ -85,6 +95,11 @@ class Predictor:
 
             def fwd(x):
                 return seg_probabilities(self.model.apply(vs, x, train=False), self.meta)
+
+            if self.quantize == "int8":
+                from eelunet_tpu.quantize import quantize_fn
+
+                fwd = quantize_fn(fwd)
 
             # Flip TTA (TrainConfig.tta): mean probability over the 4 H/W
             # flip orientations — 4x forward FLOPs in one program.

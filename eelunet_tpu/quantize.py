@@ -1,0 +1,150 @@
+"""Post-training int8 quantization of the inference forward (W8A8 convs).
+
+The reference has no quantization story (pruning is its only compression,
+prune.py); this is a beyond-reference deployment feature designed for the
+TPU's int8 MXU path, which runs at 2x the bf16 MACs/cycle on v5e-class
+chips. Instead of rewriting every model family with quantized modules, the
+pass operates below flax at the jaxpr level: the traced forward is replayed
+through a small interpreter that rewrites every eligible
+``conv_general_dilated`` equation into
+
+    x_q  = round(x / s_x)            # dynamic per-tensor activation scale
+    k_q  = round(k / s_k)            # per-output-channel kernel scales
+    y    = conv(x_q, k_q) -> int32   # MXU int8 pass
+    out  = y * (s_x * s_k)           # dequantize, f32
+
+Symmetric quantization, scales from absmax (activation scales computed on
+device per call — no calibration set needed; the reduce is trivial next to
+the conv). Depthwise/grouped convs (feature_group_count > 1) stay in the
+original dtype: they are bandwidth-bound, not MXU-bound, and per-group
+scale bookkeeping buys nothing. Bias adds and BN affines are separate
+equations downstream of the conv and replay untouched (XLA fuses them into
+the dequantize multiply).
+
+Use via ``Predictor(..., quantize="int8")`` or ``cli.predict --quantize int8``.
+Accuracy cost is measured in tests/test_quantize.py (probability deltas) and
+docs/PERF.md (trained-model metric deltas).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.extend.core import Literal
+
+_QINT_MAX = 127.0
+
+
+def _map(f, *xs):
+    return list(map(f, *xs))
+# Primitives whose sub-jaxprs we recurse into looking for convs. Anything
+# else with a sub-jaxpr (scan bodies, custom_vjp rules, pallas calls) is
+# replayed as-is: the model forwards keep their convs at the top level or
+# directly under pjit, and rewriting inside custom-gradient rules would
+# change semantics the author pinned deliberately.
+_RECURSE = ("pjit", "closed_call", "core_call", "remat", "checkpoint")
+
+_FLOAT_DTYPES = (jnp.float32, jnp.bfloat16, jnp.float16)
+
+
+def _quantized_conv(x, k, params: Dict[str, Any]):
+    """Replay one conv equation with int8 operands and int32 accumulation."""
+    f32 = jnp.float32
+    xs = jnp.max(jnp.abs(x.astype(f32))) / _QINT_MAX
+    xs = jnp.maximum(xs, jnp.finfo(f32).tiny)
+    xq = jnp.clip(jnp.round(x.astype(f32) / xs), -_QINT_MAX, _QINT_MAX).astype(jnp.int8)
+    # kernel layout from the equation's dimension_numbers: reduce over all
+    # axes except the output-feature axis for per-channel scales
+    dn = params["dimension_numbers"]
+    out_feature_axis = dn.rhs_spec[0]  # O position in the rhs layout
+    reduce_axes = tuple(i for i in range(k.ndim) if i != out_feature_axis)
+    ks = jnp.max(jnp.abs(k.astype(f32)), axis=reduce_axes, keepdims=True) / _QINT_MAX
+    ks = jnp.maximum(ks, jnp.finfo(f32).tiny)
+    kq = jnp.clip(jnp.round(k.astype(f32) / ks), -_QINT_MAX, _QINT_MAX).astype(jnp.int8)
+
+    clean = dict(params)
+    clean["preferred_element_type"] = jnp.int32
+    y = jax.lax.conv_general_dilated_p.bind(xq, kq, **clean)
+
+    # dequantize: broadcast the per-cout scale along the output feature axis
+    out_axis = dn.out_spec[1]  # C position in the out layout
+    shape = [1] * y.ndim
+    shape[out_axis] = y.shape[out_axis]
+    return (y.astype(f32) * xs * ks.reshape(shape)).astype(x.dtype)
+
+
+def _eligible(eqn, invals) -> bool:
+    if eqn.primitive.name != "conv_general_dilated":
+        return False
+    x, k = invals
+    if x.dtype not in _FLOAT_DTYPES or k.dtype not in _FLOAT_DTYPES:
+        return False
+    if eqn.params.get("feature_group_count", 1) != 1:
+        return False  # depthwise/grouped: bandwidth-bound, keep dense dtype
+    if eqn.params.get("batch_group_count", 1) != 1:
+        return False
+    return True
+
+
+def _eval_jaxpr_quantized(jaxpr, consts, *args, stats=None):
+    env: Dict[Any, Any] = {}
+
+    def read(var):
+        return var.val if isinstance(var, Literal) else env[var]
+
+    def write(var, val):
+        env[var] = val
+
+    _map(write, jaxpr.constvars, consts)
+    _map(write, jaxpr.invars, args)
+
+    for eqn in jaxpr.eqns:
+        invals = _map(read, eqn.invars)
+        if _eligible(eqn, invals):
+            outs = [_quantized_conv(invals[0], invals[1], eqn.params)]
+            if stats is not None:
+                stats["quantized_convs"] = stats.get("quantized_convs", 0) + 1
+        elif eqn.primitive.name in _RECURSE and "jaxpr" in eqn.params:
+            sub = eqn.params["jaxpr"]
+            outs = _eval_jaxpr_quantized(sub.jaxpr, sub.consts, *invals, stats=stats)
+        elif "call_jaxpr" in eqn.params:
+            # custom_jvp/custom_vjp calls carry their primal as call_jaxpr
+            # and cannot be re-bound from params (the callables are not
+            # stored). Inference never differentiates through this path, so
+            # replaying the primal is exact.
+            sub = eqn.params["call_jaxpr"]
+            if hasattr(sub, "consts"):  # ClosedJaxpr
+                outs = _eval_jaxpr_quantized(sub.jaxpr, sub.consts, *invals, stats=stats)
+            else:
+                outs = _eval_jaxpr_quantized(sub, [], *invals, stats=stats)
+        else:
+            outs = eqn.primitive.bind(*invals, **eqn.params)
+            if not eqn.primitive.multiple_results:
+                outs = [outs]
+        _map(write, eqn.outvars, outs)
+
+    return _map(read, jaxpr.outvars)
+
+
+def quantize_fn(fn: Callable, *, stats: dict = None) -> Callable:
+    """Wrap ``fn`` (any jittable array->pytree function) so every eligible
+    conv runs as an int8 MXU conv with dynamic scales. Tracing happens per
+    call — wrap the result in ``jax.jit`` (as Predictor does) so the rewrite
+    cost is paid once per shape. ``stats`` (optional dict) receives a
+    ``quantized_convs`` count at trace time for tests/telemetry."""
+
+    def wrapped(*args):
+        flat_args, in_tree = jax.tree_util.tree_flatten(args)
+        closed = jax.make_jaxpr(lambda *fa: fn(*jax.tree_util.tree_unflatten(in_tree, fa)))(
+            *flat_args
+        )
+        out_flat = _eval_jaxpr_quantized(closed.jaxpr, closed.consts, *flat_args, stats=stats)
+        out_tree = jax.tree_util.tree_structure(
+            jax.eval_shape(fn, *args)
+        )
+        return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+    return wrapped
