@@ -21,6 +21,8 @@ def main(argv=None):
     p.add_argument("--batch_sizes", type=str, default="1,8")
     p.add_argument("--output", type=str, required=True)
     p.add_argument("--platforms", type=str, default="tpu,cpu")
+    p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
+                   help="int8: bake W8A8 dynamic-scale convs into the artifact")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -35,6 +37,7 @@ def main(argv=None):
         cfg.data.normalize_mean,
         cfg.data.normalize_std,
         [s.strip() for s in args.platforms.split(",") if s.strip()],
+        quantize=args.quantize or None,
     )
     import os
 

@@ -37,6 +37,7 @@ def export_model(
     normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
     normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
     platforms: Sequence[str] = ("tpu", "cpu"),
+    quantize: Optional[str] = None,
 ) -> str:
     """Serialize uint8->probabilities forwards for each batch bucket."""
     import dataclasses
@@ -64,14 +65,26 @@ def export_model(
     from eelunet_tpu.data.augment import normalize_imagenet
     from eelunet_tpu.registry import seg_probabilities
 
-    @jax.jit
-    def forward(u8):
-        # weights enter as closure constants: baked into the artifact
-        x = normalize_imagenet(u8.astype(jnp.float32) / 255.0, mean, std)
+    def fwd(x):
         vs = {"params": params}
         if batch_stats:
             vs["batch_stats"] = batch_stats
         return seg_probabilities(model.apply(vs, x, train=False), meta)
+
+    if quantize == "int8":
+        # int8 conv rewrite baked into the serialized program (W8A8 with
+        # dynamic activation scales — eelunet_tpu/quantize.py)
+        from eelunet_tpu.quantize import quantize_fn
+
+        fwd = quantize_fn(fwd)
+    elif quantize not in (None, "", "none"):
+        raise ValueError(f"unknown quantize mode {quantize!r}; use 'int8'")
+
+    @jax.jit
+    def forward(u8):
+        # weights enter as closure constants: baked into the artifact
+        x = normalize_imagenet(u8.astype(jnp.float32) / 255.0, mean, std)
+        return fwd(x)
 
     os.makedirs(out_dir, exist_ok=True)
     buckets = sorted(set(int(b) for b in batch_sizes))
@@ -89,6 +102,7 @@ def export_model(
                 "platforms": list(platforms),
                 "input": "uint8 (B,H,W,3); scale+ImageNet-normalize baked in",
                 "output": "float32 probabilities (B,H,W,1)",
+                "quantize": quantize or None,
             },
             f,
             indent=2,

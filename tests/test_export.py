@@ -75,3 +75,31 @@ def test_weights_are_baked_in(tmp_path):
     std = np.array([0.229, 0.224, 0.225], np.float32)
     f32 = (u8.astype(np.float32) / 255.0 - mean) / std
     assert not np.allclose(a.predict_proba(u8), pred.predict_proba(f32), atol=1e-3)
+
+
+def test_quantized_export(tmp_path):
+    """--quantize int8 bakes the W8A8 conv rewrite into the artifact: it
+    loads Python-model-free, stays close to the dense artifact's output,
+    and is tagged in meta.json."""
+    import json
+    import os
+
+    dense_dir, quant_dir = str(tmp_path / "dense"), str(tmp_path / "quant")
+    export_model(ModelConfig(name="unet"), None, (32, 32), (2,), dense_dir,
+                 platforms=("cpu",))
+    export_model(ModelConfig(name="unet"), None, (32, 32), (2,), quant_dir,
+                 platforms=("cpu",), quantize="int8")
+    meta = json.load(open(os.path.join(quant_dir, "meta.json")))
+    assert meta["quantize"] == "int8"
+
+    dense, quant = ExportedModel(dense_dir), ExportedModel(quant_dir)
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    dp, qp = dense.predict_proba(u8), quant.predict_proba(u8)
+    assert qp.shape == dp.shape
+    assert float(np.abs(qp - dp).max()) < 0.1
+    assert not np.array_equal(qp, dp)  # the rewrite is actually in the program
+
+    with pytest.raises(ValueError, match="quantize"):
+        export_model(ModelConfig(name="unet"), None, (32, 32), (2,),
+                     str(tmp_path / "bad"), platforms=("cpu",), quantize="int4")
