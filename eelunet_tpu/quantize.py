@@ -28,8 +28,7 @@ docs/PERF.md (trained-model metric deltas).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +88,14 @@ def _eligible(eqn, invals) -> bool:
     return True
 
 
+def _eval_sub(sub, invals, stats):
+    """Recurse into a sub-jaxpr param (ClosedJaxpr or open Jaxpr — remat
+    stores the latter)."""
+    if hasattr(sub, "consts"):
+        return _eval_jaxpr_quantized(sub.jaxpr, sub.consts, *invals, stats=stats)
+    return _eval_jaxpr_quantized(sub, [], *invals, stats=stats)
+
+
 def _eval_jaxpr_quantized(jaxpr, consts, *args, stats=None):
     env: Dict[Any, Any] = {}
 
@@ -108,18 +115,13 @@ def _eval_jaxpr_quantized(jaxpr, consts, *args, stats=None):
             if stats is not None:
                 stats["quantized_convs"] = stats.get("quantized_convs", 0) + 1
         elif eqn.primitive.name in _RECURSE and "jaxpr" in eqn.params:
-            sub = eqn.params["jaxpr"]
-            outs = _eval_jaxpr_quantized(sub.jaxpr, sub.consts, *invals, stats=stats)
+            outs = _eval_sub(eqn.params["jaxpr"], invals, stats)
         elif "call_jaxpr" in eqn.params:
             # custom_jvp/custom_vjp calls carry their primal as call_jaxpr
             # and cannot be re-bound from params (the callables are not
             # stored). Inference never differentiates through this path, so
             # replaying the primal is exact.
-            sub = eqn.params["call_jaxpr"]
-            if hasattr(sub, "consts"):  # ClosedJaxpr
-                outs = _eval_jaxpr_quantized(sub.jaxpr, sub.consts, *invals, stats=stats)
-            else:
-                outs = _eval_jaxpr_quantized(sub, [], *invals, stats=stats)
+            outs = _eval_sub(eqn.params["call_jaxpr"], invals, stats)
         else:
             outs = eqn.primitive.bind(*invals, **eqn.params)
             if not eqn.primitive.multiple_results:
