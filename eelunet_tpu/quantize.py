@@ -13,6 +13,10 @@ through a small interpreter that rewrites every eligible
     y    = conv(x_q, k_q) -> int32   # MXU int8 pass
     out  = y * (s_x * s_k)           # dequantize, f32
 
+Dense-shaped ``dot_general`` equations (the token-MLP matmuls of the
+UNeXt/MALUNet families and nn.Dense layers generally) get the same
+treatment with per-output-feature rhs scales.
+
 Symmetric quantization, scales from absmax (activation scales computed on
 device per call — no calibration set needed; the reduce is trivial next to
 the conv). Depthwise/grouped convs (feature_group_count > 1) stay in the
@@ -88,6 +92,45 @@ def _eligible(eqn, invals) -> bool:
     return True
 
 
+def _dot_eligible(eqn, invals) -> bool:
+    """nn.Dense-shaped dot_generals: float operands, no batch dims, one
+    contracting axis per side. Covers the token-MLP matmuls; exotic
+    contractions (einsum-style multi-axis) replay dense."""
+    if eqn.primitive.name != "dot_general":
+        return False
+    lhs, rhs = invals
+    if lhs.dtype not in _FLOAT_DTYPES or rhs.dtype not in _FLOAT_DTYPES:
+        return False
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    if lb or rb or len(lc) != 1 or len(rc) != 1:
+        return False
+    # tiny contractions gain nothing and lose precision
+    return lhs.shape[lc[0]] >= 8
+
+
+def _quantized_dot(lhs, rhs, params: Dict[str, Any]):
+    """Replay one Dense-shaped dot_general with int8 operands."""
+    f32 = jnp.float32
+    (lc,), (rc,) = params["dimension_numbers"][0]
+    ls = jnp.max(jnp.abs(lhs.astype(f32))) / _QINT_MAX
+    ls = jnp.maximum(ls, jnp.finfo(f32).tiny)
+    lq = jnp.clip(jnp.round(lhs.astype(f32) / ls), -_QINT_MAX, _QINT_MAX).astype(jnp.int8)
+    # per-output-feature scales: reduce over the contracted rhs axis only
+    rs = jnp.max(jnp.abs(rhs.astype(f32)), axis=rc, keepdims=True) / _QINT_MAX
+    rs = jnp.maximum(rs, jnp.finfo(f32).tiny)
+    rq = jnp.clip(jnp.round(rhs.astype(f32) / rs), -_QINT_MAX, _QINT_MAX).astype(jnp.int8)
+
+    clean = dict(params)
+    clean["preferred_element_type"] = jnp.int32
+    y = jax.lax.dot_general_p.bind(lq, rq, **clean)
+
+    # output layout: lhs free axes then rhs free axes — rhs scales (with the
+    # contracted axis squeezed) broadcast over the trailing rhs-free block
+    rhs_free_scale = jnp.squeeze(rs, axis=rc)
+    shape = (1,) * (lhs.ndim - 1) + rhs_free_scale.shape
+    return (y.astype(f32) * ls * rhs_free_scale.reshape(shape)).astype(lhs.dtype)
+
+
 def _eval_sub(sub, invals, stats):
     """Recurse into a sub-jaxpr param (ClosedJaxpr or open Jaxpr — remat
     stores the latter)."""
@@ -114,6 +157,10 @@ def _eval_jaxpr_quantized(jaxpr, consts, *args, stats=None):
             outs = [_quantized_conv(invals[0], invals[1], eqn.params)]
             if stats is not None:
                 stats["quantized_convs"] = stats.get("quantized_convs", 0) + 1
+        elif _dot_eligible(eqn, invals):
+            outs = [_quantized_dot(invals[0], invals[1], eqn.params)]
+            if stats is not None:
+                stats["quantized_dots"] = stats.get("quantized_dots", 0) + 1
         elif eqn.primitive.name in _RECURSE and "jaxpr" in eqn.params:
             outs = _eval_sub(eqn.params["jaxpr"], invals, stats)
         elif "call_jaxpr" in eqn.params:

@@ -46,6 +46,35 @@ def test_quantized_conv_exact_on_grid():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_quantized_dot_exact_on_grid():
+    """Dense-shaped dot_general (nn.Dense / token-MLP matmuls) quantizes
+    losslessly on the int8 grid, like the conv path."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(-127, 128, (5, 16)).astype(np.float32)
+    a.flat[0] = 127.0
+    b = rng.integers(-127, 128, (16, 7)).astype(np.float32)
+    b[0, :] = 127.0  # per-column absmax -> s = 1
+    stats = {}
+    got = quantize_fn(lambda x, w: x @ w, stats=stats)(jnp.asarray(a), jnp.asarray(b))
+    assert stats == {"quantized_dots": 1}
+    np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+
+def test_batched_dots_not_rewritten():
+    """einsum-style contractions with batch dims replay dense (only the
+    Dense shape is eligible)."""
+    rng = np.random.default_rng(8)
+    a = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 16, 7)), jnp.float32)
+    stats = {}
+    got = quantize_fn(lambda x, w: jnp.einsum("bij,bjk->bik", x, w), stats=stats)(a, b)
+    assert stats.get("quantized_dots", 0) == 0
+    np.testing.assert_allclose(
+        np.asarray(got), np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(b)),
+        rtol=1e-5,
+    )
+
+
 def test_grouped_convs_not_rewritten():
     """Depthwise convs (feature_group_count > 1) stay dense — they are
     bandwidth-bound and the rewrite would buy nothing."""
