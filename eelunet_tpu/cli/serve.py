@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--quantize", type=str, default="", choices=["", "int8"],
                    help="int8: W8A8 dynamic-scale convs (eelunet_tpu.quantize)")
+    p.add_argument("--tile", type=int, default=0,
+                   help="serve at NATIVE input resolution via fixed-shape "
+                   "sliding windows of this size (0 = resize to image_size)")
+    p.add_argument("--tile_overlap", type=int, default=64)
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -37,6 +41,9 @@ def main(argv=None):
         if args.quantize:
             p.error("--quantize applies at trace time; StableHLO artifacts are "
                     "already compiled — re-export or serve from a checkpoint")
+        if args.tile:
+            p.error("--tile needs a checkpoint-backed Predictor; StableHLO "
+                    "artifacts are fixed-shape programs")
         from eelunet_tpu.export import ExportedModel
 
         predictor = ExportedModel(args.artifact)
@@ -68,6 +75,7 @@ def main(argv=None):
         predictor, image_size,
         max_batch=args.max_batch, window_ms=args.window_ms,
         threshold=args.threshold,
+        tile=args.tile, tile_overlap=args.tile_overlap,
     )
     server = make_server(service, name, args.host, args.port)
     h, w = image_size

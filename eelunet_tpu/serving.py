@@ -12,7 +12,9 @@ Wire protocol (eelunet_tpu.cli.serve):
                     -> .npy float32 probabilities (B,H,W,1), or binary
                        masks with ?output=mask
   POST /v1/predict  body = PNG/JPEG (any PIL format) -> L-mode PNG mask
-                    {0,255}, resized like the folder dataset (BILINEAR)
+                    {0,255}, resized like the folder dataset (BILINEAR);
+                    with --tile, the mask comes back at the image's NATIVE
+                    resolution (fixed-shape sliding windows, no resize)
   GET  /v1/healthz  -> {"status": "ok", "model": ..., "image_size": ...}
   GET  /v1/stats    -> batching counters (requests, batches, avg_batch)
 """
@@ -77,16 +79,21 @@ class MicroBatcher:
     def run_direct(self, batch: np.ndarray) -> np.ndarray:
         """Run a pre-assembled batch under the device lock (bypasses
         coalescing but not the single-device-owner invariant)."""
+        return self.run_exclusive(lambda: self._run(batch), items=int(batch.shape[0]))
+
+    def run_exclusive(self, thunk, items: int = 1):
+        """Run an arbitrary device job under the device lock with the same
+        accounting as coalesced batches — /v1/stats must cover ALL traffic
+        (pre-batched npy, float singles, and tiled native-resolution jobs
+        route through here)."""
         t0 = time.monotonic()
         with self._device_lock:
             td = time.monotonic()
-            out = self._run(batch)
+            out = thunk()
         now = time.monotonic()
-        # Same counters as the coalesced path — /v1/stats must account for
-        # ALL traffic (pre-batched npy and float singles route through here).
-        self.requests += int(batch.shape[0])
+        self.requests += int(items)
         self.batches += 1
-        self.batched_items += int(batch.shape[0])
+        self.batched_items += int(items)
         self.device_ms.append((now - td) * 1e3)
         self.latency_ms.append((now - t0) * 1e3)
         return out
@@ -149,6 +156,8 @@ class SegmentationService:
         max_batch: int = 16,
         window_ms: float = 5.0,
         threshold: Optional[float] = None,
+        tile: int = 0,
+        tile_overlap: int = 64,
     ):
         # ``predictor`` is anything with predict_proba(batch)->probs:
         # inference.Predictor (checkpoint serving) or export.ExportedModel
@@ -157,6 +166,17 @@ class SegmentationService:
         # artifact), never here.
         self.predictor = predictor
         self.image_size = tuple(image_size)
+        # tile > 0: NATIVE-resolution serving — inputs keep their original
+        # size and run as fixed-shape sliding windows
+        # (Predictor.predict_proba_tiled); image_size then only names the
+        # model's training scale in /v1/healthz.
+        self.tile = int(tile)
+        self.tile_overlap = int(tile_overlap)
+        if self.tile and not hasattr(predictor, "predict_proba_tiled"):
+            raise ValueError(
+                "tiled serving needs a checkpoint-backed Predictor "
+                "(StableHLO artifacts are fixed-shape programs)"
+            )
         self.threshold = (
             threshold if threshold is not None
             else getattr(predictor, "threshold", 0.5)
@@ -174,7 +194,10 @@ class SegmentationService:
         h, w = self.image_size
         if arr.ndim == 3:
             arr = arr[None]
-        if arr.ndim != 4 or arr.shape[1:] != (h, w, 3):
+        if arr.ndim != 4 or arr.shape[-1] != 3 or (
+            not self.tile and arr.shape[1:] != (h, w, 3)
+        ):
+            # tiled mode accepts any (B,H,W,3) — windows are fixed-shape
             raise ValueError(
                 f"expected (B,{h},{w},3) or ({h},{w},3), got {arr.shape}"
             )
@@ -187,17 +210,28 @@ class SegmentationService:
     def _decode_image(self, data: bytes) -> np.ndarray:
         from PIL import Image
 
-        h, w = self.image_size
         img = Image.open(io.BytesIO(data)).convert("RGB")
-        img = img.resize((w, h), Image.BILINEAR)  # dataset.py resize parity
+        if not self.tile:  # tiled mode keeps the native resolution
+            h, w = self.image_size
+            img = img.resize((w, h), Image.BILINEAR)  # dataset.py resize parity
         return np.asarray(img, np.uint8)
+
+    def _run_tiled(self, batch: np.ndarray) -> np.ndarray:
+        return self.batcher.run_exclusive(
+            lambda: self.predictor.predict_proba_tiled(
+                batch, tile=self.tile, overlap=self.tile_overlap
+            ),
+            items=int(batch.shape[0]),
+        )
 
     # -- request entry points ----------------------------------------------
 
     def predict_npy(self, body: bytes, output: str = "proba") -> bytes:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
         batch = self._check_array(arr)
-        if batch.shape[0] == 1 and batch.dtype == np.uint8:
+        if self.tile:
+            probs = self._run_tiled(batch)
+        elif batch.shape[0] == 1 and batch.dtype == np.uint8:
             probs = self.batcher.submit(batch[0]).result()[None]
         else:
             # Pre-batched requests run directly (stacking them into other
@@ -216,7 +250,10 @@ class SegmentationService:
         from PIL import Image
 
         rgb = self._decode_image(body)
-        probs = self.batcher.submit(rgb).result()
+        if self.tile:
+            probs = self._run_tiled(rgb[None])[0]
+        else:
+            probs = self.batcher.submit(rgb).result()
         mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(mask, mode="L").save(buf, format="PNG")  # cli.predict export parity
@@ -233,6 +270,7 @@ class SegmentationService:
 
         return {
             "requests": b.requests,
+            "tile": self.tile or None,
             "batches": b.batches,
             "avg_batch": round(b.batched_items / b.batches, 3) if b.batches else 0.0,
             "max_batch": b.max_batch,
@@ -271,7 +309,8 @@ def make_server(service: SegmentationService, model_name: str,
             if self.path == "/v1/healthz":
                 h, w = service.image_size
                 self._json(200, {"status": "ok", "model": model_name,
-                                 "image_size": [h, w]})
+                                 "image_size": [h, w],
+                                 "tile": service.tile or None})
             elif self.path == "/v1/stats":
                 self._json(200, service.stats())
             else:

@@ -93,7 +93,8 @@ def test_healthz_and_stats(served):
     base, _, _ = served
     with urllib.request.urlopen(base + "/v1/healthz", timeout=10) as r:
         h = json.loads(r.read())
-    assert h == {"status": "ok", "model": "unet", "image_size": [32, 32]}
+    assert h == {"status": "ok", "model": "unet", "image_size": [32, 32],
+                 "tile": None}
     with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
         s = json.loads(r.read())
     assert {"requests", "batches", "avg_batch"} <= set(s)
@@ -242,3 +243,42 @@ def test_latency_percentiles_reported(served):
         assert 0.0 <= p["p50"] <= p["p95"] <= p["p99"]
     # wall latency includes the device time it wraps
     assert s["latency_ms"]["p50"] >= s["device_ms"]["p50"] * 0.5
+
+
+def test_tiled_serving_native_resolution():
+    """--tile mode: PNG and npy requests of ANY size come back at their
+    native resolution (fixed-shape sliding windows under the device lock),
+    and stats account for the traffic."""
+    from PIL import Image
+
+    predictor = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    service = SegmentationService(predictor, (32, 32), max_batch=8,
+                                  window_ms=5.0, tile=32, tile_overlap=8)
+    try:
+        # odd-sized PNG -> same-sized mask
+        rng = np.random.default_rng(11)
+        rgb = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="PNG")
+        out = service.predict_png(buf.getvalue())
+        mask = np.asarray(Image.open(io.BytesIO(out)))
+        assert mask.shape == (50, 70)
+        assert set(np.unique(mask)) <= {0, 255}
+
+        # odd-sized npy batch passes the (relaxed) shape check
+        arr = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+        probs = np.load(io.BytesIO(service.predict_npy(_npy(arr))))
+        assert probs.shape == (2, 40, 48, 1)
+        assert service.batcher.requests == 3
+        assert service.stats()["tile"] == 32
+    finally:
+        service.close()
+
+
+def test_tiled_serving_rejects_artifact_predictor():
+    class FixedShapeOnly:
+        def predict_proba(self, b):
+            return b
+
+    with pytest.raises(ValueError, match="tiled serving"):
+        SegmentationService(FixedShapeOnly(), (32, 32), tile=32)
