@@ -48,7 +48,7 @@ def _map(f, *xs):
 # replayed as-is: the model forwards keep their convs at the top level or
 # directly under pjit, and rewriting inside custom-gradient rules would
 # change semantics the author pinned deliberately.
-_RECURSE = ("pjit", "closed_call", "core_call", "remat", "checkpoint")
+_RECURSE = ("pjit", "closed_call", "core_call", "remat", "remat2", "checkpoint")
 
 _FLOAT_DTYPES = (jnp.float32, jnp.bfloat16, jnp.float16)
 
@@ -79,8 +79,24 @@ def _quantized_conv(x, k, params: Dict[str, Any]):
     return (y.astype(f32) * xs * ks.reshape(shape)).astype(x.dtype)
 
 
+def _pins_precision(prec) -> bool:
+    """True when the equation explicitly pins HIGH/HIGHEST precision — the
+    author saying "this op's exactness matters" (e.g. the low-rank FFT
+    high-pass DFT factors, ops/fft.py: bf16 MXU passes corrupt the
+    x - lowpass(x) cancellation; int8 would too). Such ops are never
+    quantized."""
+    if prec is None:
+        return False
+    elems = prec if isinstance(prec, tuple) else (prec,)
+    return any(
+        p in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH) for p in elems
+    )
+
+
 def _eligible(eqn, invals) -> bool:
     if eqn.primitive.name != "conv_general_dilated":
+        return False
+    if _pins_precision(eqn.params.get("precision")):
         return False
     x, k = invals
     if x.dtype not in _FLOAT_DTYPES or k.dtype not in _FLOAT_DTYPES:
@@ -100,6 +116,8 @@ def _dot_eligible(eqn, invals) -> bool:
         return False
     lhs, rhs = invals
     if lhs.dtype not in _FLOAT_DTYPES or rhs.dtype not in _FLOAT_DTYPES:
+        return False
+    if _pins_precision(eqn.params.get("precision")):
         return False
     (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
     if lb or rb or len(lc) != 1 or len(rc) != 1:
@@ -187,13 +205,13 @@ def quantize_fn(fn: Callable, *, stats: dict = None) -> Callable:
 
     def wrapped(*args):
         flat_args, in_tree = jax.tree_util.tree_flatten(args)
-        closed = jax.make_jaxpr(lambda *fa: fn(*jax.tree_util.tree_unflatten(in_tree, fa)))(
-            *flat_args
-        )
+        closed, out_shape = jax.make_jaxpr(
+            lambda *fa: fn(*jax.tree_util.tree_unflatten(in_tree, fa)),
+            return_shape=True,
+        )(*flat_args)
         out_flat = _eval_jaxpr_quantized(closed.jaxpr, closed.consts, *flat_args, stats=stats)
-        out_tree = jax.tree_util.tree_structure(
-            jax.eval_shape(fn, *args)
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(out_shape), out_flat
         )
-        return jax.tree_util.tree_unflatten(out_tree, out_flat)
 
     return wrapped

@@ -198,9 +198,10 @@ class SegmentationService:
             not self.tile and arr.shape[1:] != (h, w, 3)
         ):
             # tiled mode accepts any (B,H,W,3) — windows are fixed-shape
-            raise ValueError(
-                f"expected (B,{h},{w},3) or ({h},{w},3), got {arr.shape}"
+            want = "(B,H,W,3) or (H,W,3)" if self.tile else (
+                f"(B,{h},{w},3) or ({h},{w},3)"
             )
+            raise ValueError(f"expected {want}, got {arr.shape}")
         if arr.dtype == np.uint8:
             return arr          # device-side scale+normalize (Predictor)
         if np.issubdtype(arr.dtype, np.floating):

@@ -39,7 +39,10 @@ _INTERLEAVE_WARNING = (
 )
 
 
-def write_format_meta(path: str, weights_only: bool = False, ema: bool = False) -> None:
+def write_format_meta(
+    path: str, weights_only: bool = False, ema: bool = False,
+    epoch: Optional[int] = None,
+) -> None:
     import json
 
     meta = dict(FORMAT_META)
@@ -47,6 +50,12 @@ def write_format_meta(path: str, weights_only: bool = False, ema: bool = False) 
         meta["weights_only"] = True
     if ema:
         meta["ema"] = True  # the saved tree includes an ema_params entry
+    if epoch is not None:
+        # Completed-epoch count at save time: exact resume reads this
+        # instead of deriving epochs from step/steps_per_epoch, which
+        # silently re-runs or skips epochs if the dataset or batch size
+        # changed between runs.
+        meta["epoch"] = int(epoch)
     target = os.path.join(path, _META_FILE)
     if os.path.exists(target):
         os.remove(target)  # break hardlinks (save_weights_tags dedup copies)
@@ -105,10 +114,14 @@ class CheckpointManager:
     def _weights_tree(self, state) -> Dict[str, Any]:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
-    def save(self, tag: str, state, force: bool = True) -> str:
-        return self.save_to(os.path.join(self.root, f"{self.model_name}_{tag}"), state, force)
+    def save(self, tag: str, state, force: bool = True, epoch: Optional[int] = None) -> str:
+        return self.save_to(
+            os.path.join(self.root, f"{self.model_name}_{tag}"), state, force, epoch
+        )
 
-    def save_to(self, path: str, state, force: bool = True) -> str:
+    def save_to(
+        self, path: str, state, force: bool = True, epoch: Optional[int] = None
+    ) -> str:
         """Save to an explicit directory path (outside the tag namespace)."""
         from eelunet_tpu.parallel.distributed import is_primary
 
@@ -120,7 +133,7 @@ class CheckpointManager:
         # host 0 performs it (two hosts racing remove+write the same file
         # can throw FileNotFoundError).
         if is_primary():
-            write_format_meta(path, ema=has_ema)
+            write_format_meta(path, ema=has_ema, epoch=epoch)
         return path
 
     def save_weights_tags(self, tags, state) -> list:

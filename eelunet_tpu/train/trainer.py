@@ -436,15 +436,25 @@ class Trainer:
             if target == "auto":
                 target = self.ckpt.latest_path()
             if target:
+                from eelunet_tpu.train.checkpoint import read_meta
+
                 state = self.ckpt.restore(target, state)
                 # Exact continuation: `epochs` is the TOTAL target, not an
-                # increment — snapshots land on epoch boundaries, so the
-                # completed-epoch count is step/steps_per_epoch (one optimizer
-                # step per loader batch; accum_steps splits within a step).
-                # With set_epoch-pinned shuffle keys and the step-keyed flip
-                # RNG, the resumed trajectory is identical to an uninterrupted
+                # increment. The completed-epoch count is stored in the
+                # snapshot's framework_meta.json; pre-epoch-meta checkpoints
+                # fall back to step/steps_per_epoch (one optimizer step per
+                # loader batch; accum_steps splits within a step — correct
+                # only while the loader geometry is unchanged). With
+                # set_epoch-pinned shuffle keys and the step-keyed flip RNG,
+                # the resumed trajectory is identical to an uninterrupted
                 # run (tests/test_train_e2e.py::test_resume_exact_continuation).
-                start_epoch = min(int(state.step) // steps_per_epoch, cfg.epochs)
+                meta_epoch = read_meta(target).get("epoch")
+                done = (
+                    int(meta_epoch)
+                    if meta_epoch is not None
+                    else int(state.step) // steps_per_epoch
+                )
+                start_epoch = min(done, cfg.epochs)
                 self.best.load(self.ckpt.root)
                 log(
                     f"Resumed full train state from {target} at step "
@@ -504,7 +514,7 @@ class Trainer:
             # checkpoint-cost entry in docs/PERF.md).
             self.ckpt.save_weights_tags(self.best.update(metrics, val_loss), state)
             if (epoch + 1) % cfg.snapshot_every == 0:
-                self.ckpt.save(f"epoch_{epoch + 1}", state)
+                self.ckpt.save(f"epoch_{epoch + 1}", state, epoch=epoch + 1)
                 self.ckpt.prune_snapshots(cfg.keep_snapshots)
 
             dt = time.time() - t0
@@ -529,7 +539,7 @@ class Trainer:
             # Skipped when the final epoch already wrote its epoch_N snapshot
             # (an identical full save — `last` would double the device fetch
             # and disk for nothing; latest_path finds epoch_N by mtime).
-            self.ckpt.save("last", state)
+            self.ckpt.save("last", state, epoch=cfg.epochs)
         if cfg.epochs > start_epoch and getattr(state, "ema_params", None) is not None:
             # Weights-only EMA tag: evaluate/predict/serve it like any best
             # tag (--checkpoint .../{name}_ema). The EMA also lives in every

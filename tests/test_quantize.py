@@ -75,6 +75,50 @@ def test_batched_dots_not_rewritten():
     )
 
 
+def test_remat_convs_are_quantized():
+    """jax.checkpoint wraps the body in a remat2 call — the rewrite must
+    recurse into it, not silently replay dense."""
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 6)), jnp.float32)
+    stats = {}
+    got = quantize_fn(jax.checkpoint(conv), stats=stats)(x, k)
+    assert stats.get("quantized_convs", 0) == 1
+    want = quantize_fn(conv)(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_precision_pinned_matmuls_stay_exact():
+    """Ops that pin HIGH/HIGHEST precision opt OUT of quantization — the
+    low-rank FFT high-pass relies on exact x - lowpass(x) cancellation
+    (ops/fft.py pins HIGHEST; CLAUDE.md precision rule), and int8 noise in
+    eelunet's edge branch would corrupt the enhancement signal."""
+    from eelunet_tpu.ops.fft import high_pass_fft_lowrank
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 2)), jnp.float32)
+    stats = {}
+    got = quantize_fn(lambda a: high_pass_fft_lowrank(a, 20), stats=stats)(x)
+    assert stats.get("quantized_dots", 0) == 0
+    ref = high_pass_fft_lowrank(x, 20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # explicitly pinned dots are skipped even in plain matmuls
+    a = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16, 7)), jnp.float32)
+    st = {}
+    quantize_fn(
+        lambda p, q: jnp.matmul(p, q, precision=jax.lax.Precision.HIGHEST), stats=st
+    )(a, b)
+    assert st.get("quantized_dots", 0) == 0
+
+
 def test_grouped_convs_not_rewritten():
     """Depthwise convs (feature_group_count > 1) stay dense — they are
     bandwidth-bound and the rewrite would buy nothing."""

@@ -160,6 +160,33 @@ def test_resume_exact_continuation(tmp_path):
     assert trB.best.min_val_loss <= min(histB["val_loss"][:2])
 
 
+def test_resume_epoch_from_checkpoint_meta(tmp_path):
+    """The completed-epoch count rides in the snapshot's meta, so resuming
+    with a DIFFERENT dataset/batch geometry neither re-runs nor skips
+    epochs (step // len(loader) would miscount)."""
+    from eelunet_tpu.config import apply_overrides
+
+    cfg = apply_overrides(_tiny_cfg(tmp_path, epochs=2), ["snapshot_every=2"])
+    Trainer(cfg, mesh=create_mesh(1, 1)).fit(*_loaders(), log=lambda *a: None)
+
+    # resume with twice the data (steps_per_epoch doubles: the step-derived
+    # guess would claim only 1 epoch is done and re-run epoch 2)
+    cfg2 = apply_overrides(cfg, ["epochs=3", "resume_from=auto"])
+    tr2 = Trainer(cfg2, mesh=create_mesh(1, 1))
+    big = SyntheticDataset(n=16, image_size=(32, 32), seed=0)
+    te = SyntheticDataset(n=4, image_size=(32, 32), seed=1)
+    msgs = []
+    state, hist = tr2.fit(
+        DataLoader(big, batch_size=4, shuffle=True, seed=0),
+        DataLoader(te, batch_size=4),
+        DataLoader(te, batch_size=4),
+        log=msgs.append,
+    )
+    assert any("continuing at epoch 3/3" in m for m in msgs)
+    # 2 epochs x 2 steps from the first run + 1 epoch x 4 steps resumed
+    assert int(state.step) == 2 * 2 + 4
+
+
 def test_checkpoint_format_marker_and_preformat_warning(tmp_path):
     """New checkpoints carry framework_meta.json; restoring an eelunet
     checkpoint WITHOUT it (pre-concat-bridge era) warns about the
