@@ -64,14 +64,16 @@ def wants_raw_images(d) -> bool:
     return bool(d.add_canny_edge or d.canny_enhance)
 
 
-def make_folder_dataset(d, split: str) -> SegmentationFolderDataset:
+def make_folder_dataset(d, split: str, num_classes: int = 1) -> SegmentationFolderDataset:
     """Dataset for one split, honoring the augmentation flags' raw-image
-    requirement and the uint8 device feed. Used by every CLI so the flags
+    requirement, the uint8 device feed, and multi-class id masks
+    (num_classes = model.out_channels). Used by every CLI so the flags
     behave identically in train/evaluate/predict."""
     return SegmentationFolderDataset(
         d.data_dir, split, d.image_size, d.normalize_mean, d.normalize_std,
         normalize=not wants_raw_images(d),
         as_uint8=bool(getattr(d, "uint8_feed", False)),
+        multiclass=num_classes > 1,
     )
 
 
@@ -79,7 +81,15 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
     """train/val/test loaders with the reference's 90/10 split of the train
     dir and a separate test dir (train.py:255-265)."""
     d = cfg.data
+    num_classes = cfg.model.out_channels
     if d.packed:
+        if num_classes > 1 and not d.uint8_feed:
+            raise ValueError(
+                "multi-class packed datasets need data.uint8_feed (default): "
+                "the packed float path applies the binary /255 mask scale, "
+                "while uint8 masks pass class ids through to the device "
+                "preprocess unscaled"
+            )
         if wants_raw_images(d) and not d.uint8_feed:
             raise ValueError(
                 "add_canny_edge/canny_enhance need raw images; the packed "
@@ -95,8 +105,8 @@ def build_loaders(cfg: TrainConfig) -> Tuple[DataLoader, DataLoader, DataLoader]
         test = PackedDataset(d.data_dir, "test", d.normalize_mean, d.normalize_std,
                              as_uint8=d.uint8_feed)
     else:
-        full = make_folder_dataset(d, "train")
-        test = make_folder_dataset(d, "test")
+        full = make_folder_dataset(d, "train", num_classes)
+        test = make_folder_dataset(d, "test", num_classes)
     seed = cfg.seed if cfg.seed is not None else 0
     tr_idx, va_idx = train_val_split(len(full), d.val_fraction, seed)
     # Multi-host: the train loader yields this process's slice of each global

@@ -21,7 +21,7 @@ def main(argv=None):
     cfg = load_config(args)
 
     d = cfg.data
-    ds = make_folder_dataset(d, args.split)
+    ds = make_folder_dataset(d, args.split, cfg.model.out_channels)
     # Never drop tail samples during evaluation — metrics must cover the
     # whole split (the reference's loader doesn't drop either, evaluate.py:147).
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
@@ -52,10 +52,11 @@ def main(argv=None):
         # loader yields raw uint8 that must be scaled/normalized on device.
         from eelunet_tpu.data.augment import make_input_preprocess
 
-        pre, _ = make_input_preprocess(d)
+        pre, _ = make_input_preprocess(d, num_classes=cfg.model.out_channels)
         batches = (pre(x, y) for x, y in loader)
         m = evaluate_params(model, meta, params, batches, cfg.threshold,
                             batch_stats=bstats, tta=cfg.tta)
+        acc = None  # slim path: scalars only (evaluate_params finalizes inside)
     else:
         mesh = create_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis)
         trainer = Trainer(cfg, mesh=mesh)
@@ -69,7 +70,10 @@ def main(argv=None):
 
         print(f"Evaluation date: {datetime.now().strftime('%Y%m%d_%H%M%S')}")
         print(f"Model: {cfg.model.name}")
-        m = trainer.evaluate(state, loader)
+        if cfg.model.out_channels > 1:
+            m, acc = trainer.evaluate(state, loader, return_accum=True)
+        else:
+            m, acc = trainer.evaluate(state, loader), None
     print("Evaluation Metrics:")
     print(f"Pixel Accuracy: {m['pixel_accuracy']:.4f}")
     print(f"Precision: {m['precision']:.4f}")
@@ -80,6 +84,19 @@ def main(argv=None):
     print(f"Mean IoU: {m['miou']:.4f}")
     print(f"Boundary F1 Score: {m['boundary_f1']:.4f}")
     print(f"mDice: {m['mdice']:.4f}")
+    if acc is not None:
+        # multi-class drill-down: per-class rows behind the macro scalars
+        from eelunet_tpu.metrics import per_class_metrics
+
+        pc = per_class_metrics(acc)
+        print("Per-class metrics:")
+        print("| class | IoU | Dice | precision | recall | support |")
+        for c in range(len(pc["iou"])):
+            print(
+                f"| {c} | {pc['iou'][c]:.4f} | {pc['dice'][c]:.4f} | "
+                f"{pc['precision'][c]:.4f} | {pc['recall'][c]:.4f} | "
+                f"{int(pc['support'][c])} |"
+            )
     return m
 
 

@@ -20,10 +20,14 @@ def main(argv=None):
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--splits", type=str, default="train,test")
+    p.add_argument("--multiclass", action="store_true",
+                   help="masks hold class ids (model.out_channels > 1): "
+                   "resize with NEAREST and keep ids unscaled")
     args = p.parse_args(argv)
 
     for split in args.splits.split(","):
-        pack_dataset(args.data_dir, args.out, split, (args.image_size, args.image_size))
+        pack_dataset(args.data_dir, args.out, split,
+                     (args.image_size, args.image_size), multiclass=args.multiclass)
         print(f"packed {split} -> {args.out}")
 
 

@@ -23,11 +23,14 @@ from eelunet_tpu.registry import seg_probabilities
 from eelunet_tpu.train.trainer import Trainer
 
 
-def save_mask(pred01: np.ndarray, path: str):
-    """Binary (H,W) array -> L-mode PNG (test.py:23-31)."""
+def save_mask(pred01: np.ndarray, path: str, multiclass: bool = False):
+    """Binary (H,W) array -> {0,255} L-mode PNG (test.py:23-31); multi-class
+    class-id maps are stored as raw ids (the loadable inverse of the
+    multiclass folder-dataset convention)."""
     from PIL import Image
 
-    Image.fromarray((pred01 * 255).astype(np.uint8), mode="L").save(path)
+    arr = pred01 if multiclass else pred01 * 255
+    Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
 
 
 def _predict_tiled(args, cfg):
@@ -66,7 +69,8 @@ def _predict_tiled(args, cfg):
         mask = predictor.predict_tiled(
             image[None], tile=args.tile, overlap=args.tile_overlap
         )
-        save_mask(mask[0, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"))
+        save_mask(mask[0, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"),
+                  multiclass=cfg.model.out_channels > 1)
     print(f"Saved {len(ds)} native-resolution masks to {out_dir}")
     return out_dir
 
@@ -123,7 +127,7 @@ def main(argv=None):
         params, batch_stats = state.params, state.batch_stats
 
     d = cfg.data
-    ds = make_folder_dataset(d, args.split)
+    ds = make_folder_dataset(d, args.split, cfg.model.out_channels)
     loader = DataLoader(ds, d.batch_size, num_workers=d.num_workers, drop_remainder=False)
 
     from eelunet_tpu.data.augment import make_input_preprocess
@@ -154,12 +158,15 @@ def main(argv=None):
 
         return predict_probabilities(fwd, images, tta=cfg.tta)
 
+    from eelunet_tpu.inference import _probs_to_mask
+
     i = 0
     for images, _ in loader:
         probs = np.asarray(forward(params, batch_stats, images))
-        preds = (probs > cfg.threshold).astype(np.float32)
+        preds = _probs_to_mask(probs, cfg.threshold)
         for b in range(preds.shape[0]):
-            save_mask(preds[b, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"))
+            save_mask(preds[b, :, :, 0], os.path.join(out_dir, f"pred_{i}.png"),
+                      multiclass=cfg.model.out_channels > 1)
             i += 1
     print(f"Saved {i} masks to {out_dir}")
     return out_dir

@@ -122,7 +122,7 @@ def make_augment_fn(data_cfg):
     return augment
 
 
-def make_input_preprocess(data_cfg):
+def make_input_preprocess(data_cfg, num_classes: int = 1):
     """Jitted device-side (images, labels) preprocess covering every host
     dataset mode; dtype (static under jit) selects the path:
 
@@ -135,6 +135,9 @@ def make_input_preprocess(data_cfg):
       (which normalizes), the pre-uint8-feed raw path.
     - float images, no augmentations: already normalized on host; identity.
 
+    ``num_classes > 1`` (multi-class mode): uint8 labels are CLASS IDS, not
+    a 0/255 binary mask — they cast to float without the /255 scale.
+
     Returns ``(preprocess, has_augment)``; callers may skip the call for
     float batches when ``has_augment`` is False (identity dispatch).
     """
@@ -145,7 +148,9 @@ def make_input_preprocess(data_cfg):
     @jax.jit
     def preprocess(images: jnp.ndarray, labels: jnp.ndarray):
         if labels.dtype == jnp.uint8:
-            labels = labels.astype(jnp.float32) / 255.0
+            labels = labels.astype(jnp.float32)
+            if num_classes == 1:
+                labels = labels / 255.0
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
             images = augment(images) if augment is not None else normalize_imagenet(images, mean, std)

@@ -39,6 +39,7 @@ class SegmentationFolderDataset:
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         normalize: bool = True,
         as_uint8: bool = False,
+        multiclass: bool = False,
     ):
         if not _HAS_PIL:
             raise RuntimeError("PIL is required for SegmentationFolderDataset")
@@ -67,6 +68,10 @@ class SegmentationFolderDataset:
         # preprocess (data/augment.make_input_preprocess) does u8/255 and
         # normalization after the 4x-smaller host->device transfer.
         self.as_uint8 = as_uint8
+        # multiclass=True (model.out_channels > 1): mask pixels are CLASS IDS
+        # in [0, C). They resize with NEAREST (bilinear would blend ids into
+        # nonexistent classes) and are returned unscaled (no /255).
+        self.multiclass = multiclass
 
     def __len__(self) -> int:
         return len(self.image_files)
@@ -80,13 +85,15 @@ class SegmentationFolderDataset:
         if self.image_size is not None:
             h, w = self.image_size
             img = img.resize((w, h), Image.BILINEAR)
-            mask = mask.resize((w, h), Image.BILINEAR)
+            mask = mask.resize((w, h), Image.NEAREST if self.multiclass else Image.BILINEAR)
         if self.as_uint8:
             return np.asarray(img, np.uint8), np.asarray(mask, np.uint8)[..., None]
         x = np.asarray(img, np.float32) / 255.0            # (H, W, 3)
         if self.normalize:
             x = (x - self.mean) / self.std                 # ToothDataset.py:60
-        y = (np.asarray(mask, np.float32) / 255.0)[..., None]  # (H, W, 1)
+        y = np.asarray(mask, np.float32)[..., None]        # (H, W, 1)
+        if not self.multiclass:
+            y = y / 255.0                                  # binary 0/255 -> [0,1]
         return x, y
 
 

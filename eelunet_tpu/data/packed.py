@@ -25,6 +25,7 @@ def pack_dataset(
     out_dir: str,
     split: str = "train",
     image_size: Tuple[int, int] = (256, 256),
+    multiclass: bool = False,
 ) -> str:
     """Decode a ToothDataset-style split once into uint8 memmaps."""
     from PIL import Image
@@ -48,7 +49,11 @@ def pack_dataset(
     )
     for i, (f, mf) in enumerate(zip(files, mask_files)):
         img = Image.open(os.path.join(img_dir, f)).convert("RGB").resize((w, h), Image.BILINEAR)
-        mask = Image.open(os.path.join(mask_dir, mf)).convert("L").resize((w, h), Image.BILINEAR)
+        # multiclass masks hold CLASS IDS — NEAREST keeps them intact
+        # (bilinear would blend ids into nonexistent classes)
+        mask = Image.open(os.path.join(mask_dir, mf)).convert("L").resize(
+            (w, h), Image.NEAREST if multiclass else Image.BILINEAR
+        )
         images[i] = np.asarray(img, np.uint8)
         masks[i, :, :, 0] = np.asarray(mask, np.uint8)
     images.flush()
@@ -59,7 +64,8 @@ def pack_dataset(
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-    meta[split] = {"n": n, "image_size": [h, w], "files": files}
+    meta[split] = {"n": n, "image_size": [h, w], "files": files,
+                   "multiclass": bool(multiclass)}
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return out_dir

@@ -114,6 +114,29 @@ def make_hard_sample(rng: np.random.Generator, h: int, w: int) -> Tuple[np.ndarr
     return img, noisy.astype(np.float32)[..., None]
 
 
+def make_multiclass_sample(
+    rng: np.random.Generator, h: int, w: int, num_classes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One multi-class (image, mask) pair: each foreground class 1..C-1 is an
+    ellipse with a class-specific color shift; the mask holds CLASS IDS
+    (H,W,1) float. Later classes paint over earlier ones (no ambiguity)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ids = np.zeros((h, w), np.int32)
+    img = rng.normal(0.35, 0.08, (h, w, 3)).astype(np.float32)
+    for c in range(1, num_classes):
+        cy, cx = rng.uniform(0.15, 0.85) * h, rng.uniform(0.15, 0.85) * w
+        ry, rx = rng.uniform(0.10, 0.25) * h, rng.uniform(0.10, 0.25) * w
+        blob = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) < 1.0
+        ids[blob] = c
+        # distinct, deterministic per-class color so classes are separable
+        shift = np.array([
+            0.35 * np.cos(2.1 * c), 0.35 * np.sin(1.3 * c), 0.3 * np.cos(0.7 * c + 1)
+        ], np.float32)
+        img[blob] += 0.25 + shift
+    img = np.clip(img + rng.normal(0, 0.03, (h, w, 3)), 0, 1).astype(np.float32)
+    return img, ids.astype(np.float32)[..., None]
+
+
 SAMPLE_MAKERS = {"easy": make_blob_sample, "hard": make_hard_sample}
 
 
@@ -128,10 +151,14 @@ class SyntheticDataset:
         normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
         normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
         difficulty: str = "easy",
+        num_classes: int = 1,
     ):
         rng = np.random.default_rng(seed)
         h, w = image_size
-        make = SAMPLE_MAKERS[difficulty]
+        if num_classes > 1:
+            make = lambda r, hh, ww: make_multiclass_sample(r, hh, ww, num_classes)
+        else:
+            make = SAMPLE_MAKERS[difficulty]
         self.samples = []
         mean = np.asarray(normalize_mean, np.float32)
         std = np.asarray(normalize_std, np.float32)
@@ -153,13 +180,22 @@ def write_synthetic_tree(
     image_size: Tuple[int, int] = (64, 64),
     seed: int = 0,
     difficulty: str = "easy",
+    num_classes: int = 1,
 ) -> str:
-    """Materialize a ToothDataset-style PNG tree for folder-loader/CLI tests."""
+    """Materialize a ToothDataset-style PNG tree for folder-loader/CLI tests.
+
+    ``num_classes > 1``: masks store raw class ids (the multiclass folder
+    convention — SegmentationFolderDataset(multiclass=True))."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
     h, w = image_size
-    make = SAMPLE_MAKERS[difficulty]
+    if num_classes > 1:
+        make = lambda r, hh, ww: make_multiclass_sample(r, hh, ww, num_classes)
+        mask_scale = 1.0
+    else:
+        make = SAMPLE_MAKERS[difficulty]
+        mask_scale = 255.0
     for split, n in (("train", n_train), ("test", n_test)):
         img_dir = os.path.join(root, split, "images")
         mask_dir = os.path.join(root, split, "masks")
@@ -168,7 +204,7 @@ def write_synthetic_tree(
         for i in range(n):
             img, mask = make(rng, h, w)
             Image.fromarray((img * 255).astype(np.uint8)).save(os.path.join(img_dir, f"{i:04d}.png"))
-            Image.fromarray((mask[..., 0] * 255).astype(np.uint8), mode="L").save(
+            Image.fromarray((mask[..., 0] * mask_scale).astype(np.uint8), mode="L").save(
                 os.path.join(mask_dir, f"{i:04d}.png")
             )
     return root

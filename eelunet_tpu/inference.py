@@ -17,6 +17,14 @@ from eelunet_tpu.config import ModelConfig, TrainConfig
 from eelunet_tpu.registry import create_model, seg_probabilities
 
 
+def _probs_to_mask(probs: np.ndarray, threshold: float) -> np.ndarray:
+    """(B,H,W,C) probabilities -> (B,H,W,1) mask: thresholded binary for
+    C == 1, argmax class ids for multi-class."""
+    if probs.shape[-1] > 1:
+        return np.argmax(probs, axis=-1)[..., None].astype(np.float32)
+    return (probs > threshold).astype(np.float32)
+
+
 class Predictor:
     def __init__(
         self,
@@ -165,8 +173,9 @@ class Predictor:
         return out[:b]
 
     def predict(self, images: np.ndarray) -> np.ndarray:
-        """Binary masks at the configured threshold."""
-        return (self.predict_proba(images) > self.threshold).astype(np.float32)
+        """Binary masks at the configured threshold; in multi-class mode
+        (out_channels > 1) the argmax class-id map, shape (B,H,W,1)."""
+        return _probs_to_mask(self.predict_proba(images), self.threshold)
 
     def predict_proba_tiled(
         self,
@@ -210,7 +219,7 @@ class Predictor:
         xs = self._tile_origins(wp, tile, stride)
         ramp = self._blend_window(tile, overlap)  # (tile, tile, 1) float32
 
-        acc = np.zeros((b, hp, wp, 1), np.float32)
+        acc = None  # allocated after the first chunk (C = prob channels)
         wsum = np.zeros((hp, wp, 1), np.float32)
         tiles, origins = [], []
         for y in ys:
@@ -222,13 +231,16 @@ class Predictor:
         for start in range(0, len(tiles), tiles_per_batch):
             chunk = np.stack(tiles[start : start + tiles_per_batch])
             probs = self.predict_proba(chunk)
+            if acc is None:
+                acc = np.zeros((b, hp, wp, probs.shape[-1]), np.float32)
             for (i, y, x), p in zip(origins[start : start + tiles_per_batch], probs):
                 acc[i, y : y + tile, x : x + tile] += p * ramp
         return (acc / wsum)[:, :h, :w]
 
     def predict_tiled(self, images: np.ndarray, **kw) -> np.ndarray:
-        """Binary masks from predict_proba_tiled at the configured threshold."""
-        return (self.predict_proba_tiled(images, **kw) > self.threshold).astype(np.float32)
+        """Masks from predict_proba_tiled: thresholded binary, or the argmax
+        class-id map in multi-class mode."""
+        return _probs_to_mask(self.predict_proba_tiled(images, **kw), self.threshold)
 
     @staticmethod
     def _tile_origins(size: int, tile: int, stride: int):

@@ -246,6 +246,96 @@ def compute_distance_map(target_np):
 
 
 # ---------------------------------------------------------------------------
+# Multi-class losses (out_channels > 1) — beyond-reference. The reference is
+# binary-only; its commented `criterion = nn.CrossEntropyLoss()` alternative
+# (train.py:303) is the closest anchor. Convention mirrors the binary family:
+# predictions are PROBABILITIES (softmax applied in the model / registry),
+# targets are integer class-index maps (B,H,W,1) in [0, C).
+# ---------------------------------------------------------------------------
+
+
+def _one_hot_target(target: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(B,H,W,1) class ids (float or int) -> (B,H,W,C) one-hot float32."""
+    ids = jnp.round(target[..., 0]).astype(jnp.int32)
+    return jax.nn.one_hot(ids, num_classes, dtype=jnp.float32)
+
+
+def ce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean categorical cross-entropy on probabilities: -mean log p[true].
+
+    ``pred``: (B,H,W,C) softmax probabilities; ``target``: (B,H,W,1) class
+    ids. Gradient-safe at saturation like ``bce_loss`` (p clipped away from
+    0/1 so both the log value and its derivative stay finite)."""
+    p = jnp.clip(pred.astype(jnp.float32), _PROB_EPS, 1.0 - _PROB_EPS)
+    onehot = _one_hot_target(target, pred.shape[-1])
+    log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
+    return -jnp.mean(jnp.sum(onehot * log_p, axis=-1))
+
+
+def multiclass_dice_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Macro soft Dice over ALL classes (background included), smooth=1.
+
+    Per sample and class: 1 - (2*sum(p_c*t_c)+1)/(sum(p_c)+sum(t_c)+1), the
+    per-class analogue of ``dice_loss`` (Loss.py:28-42), averaged over the
+    batch and the class axis. Including the background keeps the loss
+    symmetric with the binary family's mdice convention (metrics.py)."""
+    b, c = pred.shape[0], pred.shape[-1]
+    onehot = _one_hot_target(target, c)
+    p = pred.astype(jnp.float32).reshape(b, -1, c)
+    t = onehot.reshape(b, -1, c)
+    inter = jnp.sum(p * t, axis=1)                       # (B, C)
+    score = (2.0 * inter + 1.0) / (jnp.sum(p, axis=1) + jnp.sum(t, axis=1) + 1.0)
+    return 1.0 - jnp.mean(score)
+
+
+def ce_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, wb: float = 1.0, wd: float = 1.0) -> jnp.ndarray:
+    """wd*multiclass_dice + wb*ce — the multi-class ``bce_dice_loss``."""
+    return wd * multiclass_dice_loss(pred, target) + wb * ce_loss(pred, target)
+
+
+def _foreground_target(target: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,1) class ids -> (B,H,W,1) binary foreground (class != 0) map.
+
+    The EELUnet/EGE-UNet aux heads are architectural 1-channel sigmoid maps
+    (EELUnet.py:194-226, egeunet.py:196-205) independent of out_channels;
+    under multi-class training they supervise against the foreground mask."""
+    return (target > 0.5).astype(jnp.float32)
+
+
+def edge_ce_dice_loss(
+    aux: Sequence[jnp.ndarray],
+    out: jnp.ndarray,
+    target: jnp.ndarray,
+    wb: float = 1.0,
+    wd: float = 1.0,
+    lambda_edge: float = 1.0,
+) -> jnp.ndarray:
+    """Multi-class EELUnet criterion: ce_dice main head + the binary
+    deep-supervision pyramid (Loss.py:92-113 shape) on the foreground mask."""
+    main = ce_dice_loss(out, target, wb, wd)
+    fg = _foreground_target(target)
+    targets = _pyramid_targets(fg)
+    ds = sum(w * bce_dice_loss(p, t, wb, wd) for p, t, w in zip(aux, targets, _DS_WEIGHTS))
+    return main + lambda_edge * ds
+
+
+def gt_ce_dice_loss(
+    aux: Sequence[jnp.ndarray],
+    out: jnp.ndarray,
+    target: jnp.ndarray,
+    wb: float = 1.0,
+    wd: float = 1.0,
+    lambda_edge: float = 1.0,
+) -> jnp.ndarray:
+    """Multi-class EGE-UNet criterion: full-res 1-channel gt_pre maps
+    (Loss.py:76-89 shape) supervise the foreground mask."""
+    main = ce_dice_loss(out, target, wb, wd)
+    fg = _foreground_target(target)
+    ds = sum(w * bce_dice_loss(p, fg, wb, wd) for p, w in zip(aux, _DS_WEIGHTS))
+    return main + lambda_edge * ds
+
+
+# ---------------------------------------------------------------------------
 # Registry + model dispatch (replaces the name-keyed if-chain train.py:62-84)
 # ---------------------------------------------------------------------------
 
@@ -258,6 +348,12 @@ LOSS_REGISTRY: Dict[str, Callable] = {
     "edge_dice": lambda aux, out, t, cfg: edge_dice_loss(aux, out, t, cfg.lambda_edge),
     "edge_bce": lambda aux, out, t, cfg: edge_bce_loss(aux, out, t, cfg.lambda_edge),
     "focal": lambda aux, out, t, cfg: focal_loss(out, t),
+    # Multi-class family (model.out_channels > 1; probabilities are softmax)
+    "ce": lambda aux, out, t, cfg: ce_loss(out, t),
+    "mc_dice": lambda aux, out, t, cfg: multiclass_dice_loss(out, t),
+    "ce_dice": lambda aux, out, t, cfg: ce_dice_loss(out, t, cfg.wb, cfg.wd),
+    "edge_ce_dice": lambda aux, out, t, cfg: edge_ce_dice_loss(aux, out, t, cfg.wb, cfg.wd, cfg.lambda_edge),
+    "gt_ce_dice": lambda aux, out, t, cfg: gt_ce_dice_loss(aux, out, t, cfg.wb, cfg.wd, cfg.lambda_edge),
 }
 
 # Default criterion per model family when LossConfig.name == "auto".
@@ -275,7 +371,18 @@ AUTO_LOSS = {
 }
 
 
-def resolve_loss_name(loss_name: str, model_name: str) -> str:
+# Multi-class auto criteria: softmax-CE + macro-dice main head; models with
+# aux heads keep their binary foreground deep supervision (the aux maps are
+# 1-channel by architecture regardless of out_channels).
+AUTO_LOSS_MULTICLASS = {
+    "eelunet": "edge_ce_dice",
+    "egeunet": "gt_ce_dice",
+}
+
+
+def resolve_loss_name(loss_name: str, model_name: str, out_channels: int = 1) -> str:
     if loss_name != "auto":
         return loss_name
+    if out_channels > 1:
+        return AUTO_LOSS_MULTICLASS.get(model_name, "ce_dice")
     return AUTO_LOSS.get(model_name, "bce_dice")

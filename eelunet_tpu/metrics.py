@@ -15,6 +15,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1e-7  # evaluate.py:111
 
@@ -131,3 +132,97 @@ METRIC_NAMES: Tuple[str, ...] = (
     "pixel_accuracy", "precision", "recall", "f1_score", "iou",
     "dice", "miou", "boundary_f1", "mdice",
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-class metrics (model.out_channels > 1) — beyond-reference (the
+# reference evaluates binary masks only, evaluate.py:92-124). A C x C
+# confusion matrix is the summable state; scalar names/semantics mirror the
+# binary family so checkpoint best-tags (train/checkpoint.py BEST_METRICS)
+# and TB scalar names work unchanged:
+#   iou/dice/precision/recall/f1: macro over FOREGROUND classes (1..C-1),
+#     the multi-class analogue of the binary foreground scores;
+#   miou/mdice: macro over ALL classes incl. background — matching the
+#     binary convention mIoU = mean(fg, bg);
+#   boundary_f1: on the binary foreground mask (pred != 0 vs true != 0).
+# ---------------------------------------------------------------------------
+
+
+class MetricAccumMC(NamedTuple):
+    """Summable multi-class state: add across batches, psum across devices."""
+
+    confusion: jnp.ndarray        # (C, C) float32; rows = true, cols = pred
+    boundary_f1_sum: jnp.ndarray
+    samples: jnp.ndarray
+
+    def __add__(self, other: "MetricAccumMC") -> "MetricAccumMC":
+        return MetricAccumMC(*(a + b for a, b in zip(self, other)))
+
+    @staticmethod
+    def zeros(num_classes: int) -> "MetricAccumMC":
+        z = jnp.zeros((), jnp.float32)
+        return MetricAccumMC(jnp.zeros((num_classes, num_classes), jnp.float32), z, z)
+
+
+def update_metrics_multiclass(
+    seg_prob: jnp.ndarray,
+    labels: jnp.ndarray,
+    dilation_ratio: float = 0.02,
+) -> MetricAccumMC:
+    """One batch of multi-class metric state.
+
+    ``seg_prob``: (B,H,W,C) softmax probabilities; ``labels``: (B,H,W,1)
+    class ids (float or int). Prediction is the argmax class (no threshold
+    — the multi-class counterpart of evaluate.py:92's 0.5 binarization)."""
+    c = seg_prob.shape[-1]
+    pred = jnp.argmax(seg_prob, axis=-1)                       # (B,H,W)
+    true = jnp.round(labels[..., 0]).astype(jnp.int32)
+    true = jnp.clip(true, 0, c - 1)
+    flat = (true * c + pred).reshape(-1)
+    confusion = jnp.bincount(flat, length=c * c).reshape(c, c).astype(jnp.float32)
+    fg_pred = (pred > 0).astype(jnp.float32)[..., None]
+    fg_true = (true > 0).astype(jnp.float32)[..., None]
+    bf1 = jnp.sum(boundary_f1_batch(fg_true, fg_pred, dilation_ratio))
+    n = jnp.asarray(seg_prob.shape[0], jnp.float32)
+    return MetricAccumMC(confusion, bf1, n)
+
+
+def per_class_metrics(acc: MetricAccumMC) -> Dict[str, np.ndarray]:
+    """Per-class iou/dice/precision/recall vectors (host numpy) from the
+    confusion matrix — the drill-down behind the macro scalars."""
+    conf = np.asarray(acc.confusion)
+    tp = np.diag(conf)
+    fn = conf.sum(1) - tp
+    fp = conf.sum(0) - tp
+    return {
+        "iou": tp / (tp + fp + fn + EPS),
+        "dice": 2 * tp / (2 * tp + fp + fn + EPS),
+        "precision": tp / (tp + fp + EPS),
+        "recall": tp / (tp + fn + EPS),
+        "support": conf.sum(1),
+    }
+
+
+def finalize_metrics_multiclass(acc: MetricAccumMC) -> Dict[str, jnp.ndarray]:
+    """Scalar metrics from the confusion matrix (names == METRIC_NAMES)."""
+    conf = acc.confusion
+    tp = jnp.diagonal(conf)                       # (C,)
+    fn = jnp.sum(conf, axis=1) - tp               # true row minus diagonal
+    fp = jnp.sum(conf, axis=0) - tp               # pred col minus diagonal
+    iou_c = tp / (tp + fp + fn + EPS)
+    dice_c = 2 * tp / (2 * tp + fp + fn + EPS)
+    prec_c = tp / (tp + fp + EPS)
+    rec_c = tp / (tp + fn + EPS)
+    f1_c = 2 * prec_c * rec_c / (prec_c + rec_c + EPS)
+    total = jnp.sum(conf)
+    return {
+        "pixel_accuracy": jnp.sum(tp) / (total + EPS),
+        "precision": jnp.mean(prec_c[1:]),
+        "recall": jnp.mean(rec_c[1:]),
+        "f1_score": jnp.mean(f1_c[1:]),
+        "iou": jnp.mean(iou_c[1:]),
+        "dice": jnp.mean(dice_c[1:]),
+        "miou": jnp.mean(iou_c),
+        "boundary_f1": acc.boundary_f1_sum / (acc.samples + EPS),
+        "mdice": jnp.mean(dice_c),
+    }

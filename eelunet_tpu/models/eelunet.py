@@ -343,6 +343,9 @@ class EELUnet(nn.Module):
         # final: channels-first LayerNorm + 1x1 conv + sigmoid (330-333, 467-469)
         seg = ChannelLayerNorm(dtype=dt, name="final_ln")(seg)
         seg = TorchConv(self.out_channels, (1, 1), padding=0, dtype=dt, name="final_conv")(seg)
-        seg = jax.nn.sigmoid(seg.astype(jnp.float32))
+        # sigmoid for the binary reference head (EELUnet.py:469); softmax over
+        # the class axis in multi-class mode (out_channels > 1, beyond-ref)
+        seg = seg.astype(jnp.float32)
+        seg = jax.nn.sigmoid(seg) if self.out_channels == 1 else jax.nn.softmax(seg, axis=-1)
 
         return ModelOutput(seg=seg, aux=(edge_5, edge_4, edge_3, edge_2, edge_1))

@@ -268,7 +268,9 @@ class EGEUNet(nn.Module):
 
         out = KaimingConv(self.num_classes, (1, 1), padding=0, dtype=dt, name="final")(out)
         out = upsample2x_bilinear(out, align_corners=True)
-        seg = jax.nn.sigmoid(out.astype(jnp.float32))
+        # sigmoid head (egeunet.py:389); softmax in multi-class mode
+        out = out.astype(jnp.float32)
+        seg = jax.nn.sigmoid(out) if self.num_classes == 1 else jax.nn.softmax(out, axis=-1)
 
         aux = tuple(
             jax.nn.sigmoid(g) for g in

@@ -253,5 +253,7 @@ class MALUNet(nn.Module):
         out1 = _gelu(upsample2x_bilinear(GroupNorm4(dtype=dt, name="dbn5")(out1), align_corners=True)) + t1
 
         out0 = KaimingConv(self.num_classes, (1, 1), padding=0, dtype=dt, name="final")(out1)
-        out0 = upsample2x_bilinear(out0, align_corners=True)
-        return ModelOutput(seg=jax.nn.sigmoid(out0.astype(jnp.float32)))
+        out0 = upsample2x_bilinear(out0, align_corners=True).astype(jnp.float32)
+        if self.num_classes > 1:  # multi-class mode: softmax head
+            return ModelOutput(seg=jax.nn.softmax(out0, axis=-1))
+        return ModelOutput(seg=jax.nn.sigmoid(out0))

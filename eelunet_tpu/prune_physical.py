@@ -455,6 +455,8 @@ def evaluate_params(
             return seg_probabilities(model.apply(vs, x, train=False), meta)
 
         probs = predict_probabilities(fwd, images, tta=tta)
+        if probs.shape[-1] > 1:  # multi-class (same dispatch as Trainer)
+            return M.update_metrics_multiclass(probs, labels)
         return M.update_metrics(probs, labels, threshold)
 
     acc = None
@@ -463,7 +465,12 @@ def evaluate_params(
         acc = batch_acc if acc is None else acc + batch_acc
     if acc is None:
         return {k: 0.0 for k in M.METRIC_NAMES}
-    return {k: float(v) for k, v in M.finalize_metrics(acc).items()}
+    final = (
+        M.finalize_metrics_multiclass(acc)
+        if isinstance(acc, M.MetricAccumMC)
+        else M.finalize_metrics(acc)
+    )
+    return {k: float(v) for k, v in final.items()}
 
 
 def param_count(params) -> int:

@@ -132,10 +132,19 @@ def create_model(model_cfg) -> Tuple[Any, ModelMeta]:
 
 
 def seg_probabilities(output: ModelOutput, meta: ModelMeta) -> jnp.ndarray:
-    """Segmentation probabilities regardless of the model's output convention."""
+    """Segmentation probabilities regardless of the model's output convention.
+
+    Single-channel logits get a sigmoid (binary); multi-channel logits get a
+    softmax over the class axis (multi-class mode, out_channels > 1). Models
+    that bake the activation in (seg_is_logits=False) apply the same rule
+    internally."""
     import jax
 
-    return jax.nn.sigmoid(output.seg) if meta.seg_is_logits else output.seg
+    if not meta.seg_is_logits:
+        return output.seg
+    if output.seg.shape[-1] > 1:
+        return jax.nn.softmax(output.seg, axis=-1)
+    return jax.nn.sigmoid(output.seg)
 
 
 def predict_probabilities(fwd, images: jnp.ndarray, tta: bool = False) -> jnp.ndarray:

@@ -242,7 +242,9 @@ class SegmentationService:
             # run_direct still serializes on the batcher's device lock.
             probs = self.batcher.run_direct(batch)
         if output == "mask":
-            probs = (probs > self.threshold).astype(np.float32)
+            from eelunet_tpu.inference import _probs_to_mask
+
+            probs = _probs_to_mask(probs, self.threshold)
         buf = io.BytesIO()
         np.save(buf, np.asarray(probs, np.float32))
         return buf.getvalue()
@@ -255,7 +257,10 @@ class SegmentationService:
             probs = self._run_tiled(rgb[None])[0]
         else:
             probs = self.batcher.submit(rgb).result()
-        mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
+        if probs.shape[-1] > 1:  # multi-class: raw class ids (cli.predict parity)
+            mask = np.argmax(probs, axis=-1).astype(np.uint8)
+        else:
+            mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(mask, mode="L").save(buf, format="PNG")  # cli.predict export parity
         return buf.getvalue()

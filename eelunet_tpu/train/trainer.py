@@ -190,6 +190,8 @@ def make_eval_step(model, meta, has_batch_stats: bool, threshold: float = 0.5,
             return seg_probabilities(model.apply(variables, x, train=False), meta)
 
         probs = predict_probabilities(fwd, images, tta=tta)
+        if probs.shape[-1] > 1:  # multi-class: argmax + confusion matrix
+            return M.update_metrics_multiclass(probs, labels)
         return M.update_metrics(probs, labels, threshold)
 
     return jax.jit(eval_step)
@@ -210,7 +212,9 @@ class Trainer:
         self.cfg = cfg
         from eelunet_tpu.data.augment import make_input_preprocess
 
-        self._preprocess, self._has_augment = make_input_preprocess(cfg.data)
+        self._preprocess, self._has_augment = make_input_preprocess(
+            cfg.data, num_classes=cfg.model.out_channels
+        )
         self.mesh = mesh if mesh is not None else create_mesh(
             cfg.mesh.data_axis, cfg.mesh.model_axis, cfg.mesh.spatial_axis
         )
@@ -239,7 +243,9 @@ class Trainer:
                 # lowrank below.
                 model_cfg = dataclasses.replace(model_cfg, highpass_impl="pallas_sharded")
         self.model, self.meta = create_model(model_cfg)
-        self.loss_name = L.resolve_loss_name(cfg.loss.name, cfg.model.name)
+        self.loss_name = L.resolve_loss_name(
+            cfg.loss.name, cfg.model.name, cfg.model.out_channels
+        )
         self.loss_fn = make_loss_fn(self.loss_name, cfg.loss, self.meta)
         self._steps: Dict[str, Any] = {}
         self.ckpt = CheckpointManager(cfg.save_dir, cfg.model.name)
@@ -407,16 +413,26 @@ class Trainer:
             n += 1
         return float(total) / max(n, 1)
 
-    def evaluate(self, state: TrainState, loader) -> Dict[str, float]:
-        """Full metric evaluation (reference evaluate.py:62-124)."""
+    def evaluate(self, state: TrainState, loader, return_accum: bool = False):
+        """Full metric evaluation (reference evaluate.py:62-124).
+
+        ``return_accum=True`` additionally returns the raw accumulator
+        (MetricAccum / MetricAccumMC) for drill-downs like per-class tables."""
         step = self._get_step("eval", state)
         acc = None
         for images, labels in self._device_batches(loader):
             batch_acc = step(state, images, labels)
             acc = batch_acc if acc is None else acc + batch_acc
         if acc is None:
-            return {k: 0.0 for k in M.METRIC_NAMES}
-        return {k: float(v) for k, v in M.finalize_metrics(acc).items()}
+            out = {k: 0.0 for k in M.METRIC_NAMES}
+            return (out, None) if return_accum else out
+        final = (
+            M.finalize_metrics_multiclass(acc)
+            if isinstance(acc, M.MetricAccumMC)
+            else M.finalize_metrics(acc)
+        )
+        out = {k: float(v) for k, v in final.items()}
+        return (out, acc) if return_accum else out
 
     def fit(
         self,
