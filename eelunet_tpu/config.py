@@ -51,6 +51,14 @@ class DataConfig:
     device_cache: bool = False
     device_cache_max_gb: float = 4.0
 
+    def __post_init__(self):
+        # Accept a bare int (e.g. --set data.image_size=64) as square size;
+        # every consumer expects an (H, W) tuple.
+        if isinstance(self.image_size, int):
+            self.image_size = (self.image_size, self.image_size)
+        elif self.image_size is not None:
+            self.image_size = tuple(self.image_size)
+
 
 @dataclass
 class ModelConfig:

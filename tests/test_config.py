@@ -29,6 +29,14 @@ def test_overrides_nested():
     assert cfg.optimizer.lr_step_size == 30
 
 
+def test_override_scalar_image_size():
+    # A bare int (--set data.image_size=64) means square size; consumers
+    # (SegmentationFolderDataset and friends) require an (H, W) tuple.
+    cfg = apply_overrides(TrainConfig(), ["data.image_size=64"])
+    assert cfg.data.image_size == (64, 64)
+    assert config_from_json(config_to_json(cfg)).data.image_size == (64, 64)
+
+
 def test_override_string_values():
     cfg = apply_overrides(TrainConfig(), ["loss.name=edge_bce_dice", "save_dir=/tmp/x"])
     assert cfg.loss.name == "edge_bce_dice"
