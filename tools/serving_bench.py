@@ -58,18 +58,19 @@ def main():
         np.save(buf, rng.integers(0, 256, (s, s, 3), dtype=np.uint8))
         bodies.append(buf.getvalue())
 
-    # Warm every bucket the run can hit (compile outside the timed window).
+    # Warm every batch bucket the run can hit (compiles stay outside the
+    # timed window — the micro-batcher forms batches of ANY size <= max_batch,
+    # and each power-of-two bucket is its own XLA program).
+    b = 1
+    while True:
+        predictor.predict_proba(np.zeros((b, s, s, 3), np.uint8))
+        if b >= args.max_batch:
+            break
+        b = min(b * 2, args.max_batch)
+    # One HTTP round-trip to warm the server path itself.
     req = urllib.request.Request(url, data=bodies[0],
                                  headers={"Content-Type": "application/octet-stream"})
     urllib.request.urlopen(req, timeout=600).read()
-    warm = [threading.Thread(target=lambda: urllib.request.urlopen(
-        urllib.request.Request(url, data=bodies[0],
-                               headers={"Content-Type": "application/octet-stream"}),
-        timeout=600).read()) for _ in range(args.max_batch)]
-    for t in warm:
-        t.start()
-    for t in warm:
-        t.join()
 
     n_batches0 = service.batcher.batches
     n_items0 = service.batcher.batched_items
@@ -102,6 +103,8 @@ def main():
     lat = np.sort(np.asarray(latencies)) * 1e3
     nb = service.batcher.batches - n_batches0
     ni = service.batcher.batched_items - n_items0
+    stats = json.loads(urllib.request.urlopen(
+        url.replace("/v1/predict", "/v1/stats"), timeout=60).read())
     print(json.dumps({
         "model": args.model, "image_size": s, "clients": args.clients,
         "requests": len(latencies), "wall_s": round(wall, 2),
@@ -111,6 +114,10 @@ def main():
         "latency_ms_max": round(float(lat[-1]), 1),
         "avg_device_batch": round(ni / nb, 2) if nb else 0.0,
         "max_batch": args.max_batch, "window_ms": args.window_ms,
+        # Server-side split: per-batch device time vs end-to-end request
+        # latency — separates TPU cost from host/HTTP queueing.
+        "server_device_ms": stats.get("device_ms"),
+        "server_latency_ms": stats.get("latency_ms"),
     }))
     server.shutdown()
     service.close()
