@@ -37,6 +37,7 @@ class Predictor:
         mesh=None,
         tta: bool = False,
         quantize: Optional[str] = None,
+        proba_wire_dtype: Optional[str] = "auto",
     ):
         """``bucket_batches`` pads each batch up to a bucket size before the
         jitted forward and slices the outputs back, so serving traffic with
@@ -54,6 +55,16 @@ class Predictor:
         conv with dynamic activation scales (eelunet_tpu.quantize — 2x MAC
         throughput on int8-capable TPUs; small accuracy cost measured in
         tests/test_quantize.py and docs/PERF.md). ``None`` = dense dtype.
+
+        ``proba_wire_dtype``: dtype of predict_proba's device->host transfer.
+        ``"auto"`` (default) ships bfloat16 for bfloat16-compute models —
+        their logits are already bf16, so f32 probabilities carry pseudo-
+        precision, and halving the readback bytes matters on bandwidth-
+        limited device links (~22 MB/s through the axon tunnel,
+        docs/PERF.md serving section). The public contract is unchanged
+        (predict_proba still RETURNS float32; the cast happens on the wire).
+        f32-compute models always ship f32. Pin ``"float32"`` where
+        bit-exact f32 sigmoid outputs matter, or ``"bfloat16"`` to force.
 
         ``mesh``: a `jax.sharding.Mesh` for multi-chip batch-parallel
         serving — params/BN stats replicate, batches shard over all mesh
@@ -88,8 +99,19 @@ class Predictor:
             raise ValueError(f"unknown quantize mode {quantize!r}; use 'int8'")
         self.quantize = quantize if quantize in ("int8",) else None
 
-        @jax.jit
-        def _forward(params, batch_stats, images):
+        if proba_wire_dtype == "auto":
+            self._proba_wire = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else None
+        elif proba_wire_dtype in (None, "", "none", "float32"):
+            self._proba_wire = None
+        elif proba_wire_dtype in ("bfloat16", "bf16"):
+            self._proba_wire = jnp.bfloat16
+        else:
+            raise ValueError(
+                f"unknown proba_wire_dtype {proba_wire_dtype!r}; "
+                "use 'auto', 'float32' or 'bfloat16'"
+            )
+
+        def _probs(params, batch_stats, images):
             if images.dtype == jnp.uint8:
                 # uint8 serving input: scale + ImageNet-normalize on device
                 # (4x fewer host->device bytes than pre-normalized f32; same
@@ -115,7 +137,29 @@ class Predictor:
 
             return predict_probabilities(fwd, images, tta=tta)
 
+        @jax.jit
+        def _forward(params, batch_stats, images):
+            out = _probs(params, batch_stats, images)
+            return out if self._proba_wire is None else out.astype(self._proba_wire)
+
+        # ModelConfig is the canonical out_channels source (module attribute
+        # names vary per family: unext uses num_classes).
+        n_out = int(getattr(model_cfg, "out_channels", 1) or 1)
+        self.out_channels = n_out
+
+        @jax.jit
+        def _forward_mask(params, batch_stats, images, threshold):
+            # Device-side _probs_to_mask: threshold/argmax the f32
+            # probabilities ON the device and ship 1 byte/pixel instead of
+            # 4*C — the readback is the serving bottleneck on a
+            # bandwidth-limited device link (docs/PERF.md serving section).
+            probs = _probs(params, batch_stats, images)
+            if n_out > 1:
+                return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.uint8)
+            return (probs > threshold).astype(jnp.uint8)
+
         self._forward = _forward
+        self._forward_mask = _forward_mask
 
     def _replicate_weights(self):
         """One-time placement: weights live replicated on every mesh device
@@ -150,10 +194,8 @@ class Predictor:
         if self._batch_sharding is not None:
             self._replicate_weights()
 
-    def predict_proba(self, images: np.ndarray) -> np.ndarray:
-        """(B,H,W,3) images -> (B,H,W,1) probabilities. Accepts either
-        ImageNet-normalized float32 or raw uint8 (scaled + normalized on
-        device; preferred for serving — 4x smaller transfers)."""
+    def _run_program(self, program, images: np.ndarray, *extra) -> np.ndarray:
+        """Pad to the batch bucket, place on device(s), run, slice back."""
         b = int(images.shape[0])
         target = b
         if self.bucket_batches and b > 0:
@@ -169,13 +211,35 @@ class Predictor:
             x = jax.device_put(np.asarray(images), self._batch_sharding)
         else:
             x = jnp.asarray(images)
-        out = np.asarray(self._forward(self.params, self.batch_stats, x))
+        out = np.asarray(program(self.params, self.batch_stats, x, *extra))
         return out[:b]
+
+    def predict_proba(self, images: np.ndarray) -> np.ndarray:
+        """(B,H,W,3) images -> (B,H,W,C) float32 probabilities. Accepts
+        either ImageNet-normalized float32 or raw uint8 (scaled + normalized
+        on device; preferred for serving — 4x smaller transfers). The
+        device->host transfer dtype follows ``proba_wire_dtype``."""
+        out = self._run_program(self._forward, np.asarray(images))
+        return out.astype(np.float32, copy=False)
+
+    def predict_mask_wire(
+        self, images: np.ndarray, threshold: Optional[float] = None
+    ) -> np.ndarray:
+        """(B,H,W,3) images -> (B,H,W,1) uint8 masks computed ON DEVICE:
+        {0,1} thresholded for binary models, argmax class ids in multi-class
+        mode. Same values as ``_probs_to_mask(predict_proba(x))`` (both
+        threshold/argmax the f32 probabilities), but the wire carries 1
+        byte/pixel instead of 4*C — the difference between 9 and 20+ img/s
+        through the ~22 MB/s axon tunnel (docs/PERF.md serving section)."""
+        thr = np.float32(self.threshold if threshold is None else threshold)
+        return self._run_program(self._forward_mask, np.asarray(images), thr)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Binary masks at the configured threshold; in multi-class mode
-        (out_channels > 1) the argmax class-id map, shape (B,H,W,1)."""
-        return _probs_to_mask(self.predict_proba(images), self.threshold)
+        (out_channels > 1) the argmax class-id map, shape (B,H,W,1).
+        Runs the device-side mask program (uint8 wire), upcast to the
+        float32 contract of the original host-side path."""
+        return self.predict_mask_wire(images).astype(np.float32)
 
     def predict_proba_tiled(
         self,

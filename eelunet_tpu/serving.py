@@ -10,7 +10,9 @@ lock contention on the JAX runtime.
 Wire protocol (eelunet_tpu.cli.serve):
   POST /v1/predict  body = .npy bytes, uint8/float (H,W,3) or (B,H,W,3)
                     -> .npy float32 probabilities (B,H,W,1), or binary
-                       masks with ?output=mask
+                       masks with ?output=mask (mask batches threshold ON
+                       DEVICE and ship a uint8 wire — 4x fewer readback
+                       bytes, the bottleneck on a tunneled device)
   POST /v1/predict  body = PNG/JPEG (any PIL format) -> L-mode PNG mask
                     {0,255}, resized like the folder dataset (BILINEAR);
                     with --tile, the mask comes back at the image's NATIVE
@@ -44,8 +46,14 @@ class MicroBatcher:
     pays at most the window latency.
     """
 
-    def __init__(self, run_batch, max_batch: int = 16, window_ms: float = 5.0):
+    def __init__(self, run_batch, max_batch: int = 16, window_ms: float = 5.0,
+                 run_batch_mask=None):
+        # ``run_batch_mask``: optional uint8-wire mask program
+        # (Predictor.predict_mask_wire) — used for a coalesced batch when
+        # EVERY queued request wants a mask, cutting the device->host
+        # readback 4x (the serving bottleneck on a tunneled device).
         self._run = run_batch
+        self._run_mask = run_batch_mask
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -67,13 +75,16 @@ class MicroBatcher:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray, want: str = "proba") -> Future:
+        """Enqueue one image; the Future resolves to ``(kind, row)`` where
+        ``kind`` is "proba" (float probabilities) or "mask" (uint8 mask —
+        only when want="mask" and the whole coalesced batch wanted masks)."""
         fut: Future = Future()
         with self._submit_lock:
             if self._stop.is_set():
                 fut.set_exception(RuntimeError("MicroBatcher is stopped"))
                 return fut
-            self._q.put((image, fut, time.monotonic()))
+            self._q.put((image, fut, time.monotonic(), want))
         return fut
 
     def run_direct(self, batch: np.ndarray) -> np.ndarray:
@@ -106,7 +117,7 @@ class MicroBatcher:
         # Future.result() (submit() rejects new work once _stop is set).
         while True:
             try:
-                _, fut, _ = self._q.get_nowait()
+                _, fut, _, _ = self._q.get_nowait()
             except queue.Empty:
                 break
             fut.set_exception(RuntimeError("MicroBatcher stopped before request ran"))
@@ -127,20 +138,29 @@ class MicroBatcher:
                     items.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            images = [im for im, _, _ in items]
-            futs = [f for _, f, _ in items]
+            images = [im for im, _, _, _ in items]
+            futs = [f for _, f, _, _ in items]
+            # uint8 mask wire iff every request in THIS batch wants a mask
+            # (mixed batches run the proba program; mask requesters then
+            # threshold on host — same values, just more readback bytes).
+            use_mask = self._run_mask is not None and all(
+                w == "mask" for _, _, _, w in items
+            )
             self.requests += len(items)
             self.batches += 1
             self.batched_items += len(items)
             try:
                 td = time.monotonic()
                 with self._device_lock:
-                    out = self._run(np.stack(images))
+                    out = (self._run_mask if use_mask else self._run)(
+                        np.stack(images)
+                    )
                 now = time.monotonic()
+                kind = "mask" if use_mask else "proba"
                 self.device_ms.append((now - td) * 1e3)
-                for (_, f, t0), i in zip(items, range(len(items))):
+                for (_, f, t0, _), i in zip(items, range(len(items))):
                     self.latency_ms.append((now - t0) * 1e3)
-                    f.set_result(out[i])
+                    f.set_result((kind, out[i]))
             except Exception as e:  # propagate to every waiter in the batch
                 for f in futs:
                     f.set_exception(e)
@@ -181,8 +201,19 @@ class SegmentationService:
             threshold if threshold is not None
             else getattr(predictor, "threshold", 0.5)
         )
+        self._n_classes = int(getattr(predictor, "out_channels", 1) or 1)
+        # Mask requests (PNG responses, ?output=mask) run a device-side
+        # threshold/argmax program with a uint8 wire when the predictor
+        # supports it (checkpoint-backed Predictor; StableHLO artifacts are
+        # fixed probability programs and fall back to host thresholding).
+        mask_wire = getattr(predictor, "predict_mask_wire", None)
+        run_mask = (
+            (lambda batch: mask_wire(batch, threshold=self.threshold))
+            if mask_wire is not None else None
+        )
         self.batcher = MicroBatcher(
-            predictor.predict_proba, max_batch=max_batch, window_ms=window_ms
+            predictor.predict_proba, max_batch=max_batch, window_ms=window_ms,
+            run_batch_mask=run_mask,
         )
 
     def close(self):
@@ -230,37 +261,56 @@ class SegmentationService:
     def predict_npy(self, body: bytes, output: str = "proba") -> bytes:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
         batch = self._check_array(arr)
+        out = None  # (B,H,W,1) mask already computed on device, or None
         if self.tile:
             probs = self._run_tiled(batch)
         elif batch.shape[0] == 1 and batch.dtype == np.uint8:
-            probs = self.batcher.submit(batch[0]).result()[None]
+            kind, row = self.batcher.submit(batch[0], want=output).result()
+            if kind == "mask":
+                out = row[None]
+            else:
+                probs = row[None]
         else:
             # Pre-batched requests run directly (stacking them into other
             # requests would reorder rows). Float singles do too: coalescing
             # a float row with queued uint8 rows would promote the stack to
             # float32 and skip the uint8 rows' on-device scale+normalize.
-            # run_direct still serializes on the batcher's device lock.
-            probs = self.batcher.run_direct(batch)
-        if output == "mask":
+            # run_direct / run_exclusive still serialize on the device lock.
+            run_mask = self.batcher._run_mask
+            if output == "mask" and run_mask is not None:
+                out = self.batcher.run_exclusive(
+                    lambda: run_mask(batch), items=int(batch.shape[0])
+                )
+            else:
+                probs = self.batcher.run_direct(batch)
+        if output == "mask" and out is None:
             from eelunet_tpu.inference import _probs_to_mask
 
-            probs = _probs_to_mask(probs, self.threshold)
+            out = _probs_to_mask(probs, self.threshold)
         buf = io.BytesIO()
-        np.save(buf, np.asarray(probs, np.float32))
+        np.save(buf, np.asarray(out if output == "mask" else probs, np.float32))
         return buf.getvalue()
 
     def predict_png(self, body: bytes) -> bytes:
         from PIL import Image
 
         rgb = self._decode_image(body)
+        mask = None
         if self.tile:
             probs = self._run_tiled(rgb[None])[0]
         else:
-            probs = self.batcher.submit(rgb).result()
-        if probs.shape[-1] > 1:  # multi-class: raw class ids (cli.predict parity)
-            mask = np.argmax(probs, axis=-1).astype(np.uint8)
-        else:
-            mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
+            kind, row = self.batcher.submit(rgb, want="mask").result()
+            if kind == "mask":  # device-computed uint8: {0,1} or class ids
+                mask = row[..., 0]
+                if self._n_classes == 1:
+                    mask = (mask * 255).astype(np.uint8)
+            else:
+                probs = row
+        if mask is None:
+            if probs.shape[-1] > 1:  # multi-class: raw class ids (cli.predict parity)
+                mask = np.argmax(probs, axis=-1).astype(np.uint8)
+            else:
+                mask = ((probs[..., 0] > self.threshold) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(mask, mode="L").save(buf, format="PNG")  # cli.predict export parity
         return buf.getvalue()

@@ -145,3 +145,57 @@ def test_predict_tiled_rejects_bad_overlap():
     x = np.zeros((1, 32, 32, 3), np.float32)
     with pytest.raises(ValueError, match="overlap"):
         pred.predict_proba_tiled(x, tile=32, overlap=32)
+
+
+def test_predict_mask_wire_matches_host_threshold():
+    """The device-side mask program (uint8 wire) must produce exactly the
+    host path's values: {0,1} thresholded probabilities for binary models.
+    The wire format is the serving fast path (4x fewer readback bytes —
+    docs/PERF.md serving section)."""
+    from eelunet_tpu.inference import _probs_to_mask
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    pred = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    wire = pred.predict_mask_wire(x)
+    assert wire.dtype == np.uint8 and wire.shape == (3, 32, 32, 1)
+    want = _probs_to_mask(pred.predict_proba(x), pred.threshold)
+    np.testing.assert_array_equal(wire.astype(np.float32), want)
+    # predict() keeps its float32 {0,1} contract on top of the wire
+    out = pred.predict(x)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, want)
+    # a non-default threshold flows through as a traced argument
+    want_lo = _probs_to_mask(pred.predict_proba(x), 0.25)
+    np.testing.assert_array_equal(
+        pred.predict_mask_wire(x, threshold=0.25).astype(np.float32), want_lo
+    )
+
+
+def test_predict_mask_wire_multiclass_argmax():
+    """Multi-class mode: the mask wire carries argmax class ids (uint8),
+    matching the host argmax (cli.predict id-mask semantics)."""
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    pred = Predictor(ModelConfig(name="unet", out_channels=4), bucket_batches=False)
+    wire = pred.predict_mask_wire(x)
+    assert wire.dtype == np.uint8 and wire.shape == (2, 32, 32, 1)
+    want = np.argmax(pred.predict_proba(x), axis=-1)[..., None]
+    np.testing.assert_array_equal(wire.astype(np.int64), want)
+
+
+def test_proba_wire_dtype_bf16_close_and_f32_default():
+    """proba_wire_dtype: 'auto' keeps an f32 wire for f32 models (bit-exact);
+    forcing 'bfloat16' still RETURNS float32 but rounds through bf16 on the
+    wire (<=0.4% relative on probabilities)."""
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    f32 = Predictor(ModelConfig(name="unet"), bucket_batches=False)
+    assert f32._proba_wire is None  # auto on an f32 model
+    bf = Predictor(ModelConfig(name="unet"), bucket_batches=False,
+                   proba_wire_dtype="bfloat16")
+    a, b = f32.predict_proba(x), bf.predict_proba(x)
+    assert a.dtype == b.dtype == np.float32
+    np.testing.assert_allclose(a, b, atol=4e-3)
+    with pytest.raises(ValueError, match="proba_wire_dtype"):
+        Predictor(ModelConfig(name="unet"), proba_wire_dtype="int8")

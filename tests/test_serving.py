@@ -51,7 +51,8 @@ def test_microbatcher_rows_routed_and_coalesced():
         xs = [np.full((2, 2), i, np.float32) for i in range(12)]
         futs = [mb.submit(x) for x in xs]
         outs = [f.result(timeout=10) for f in futs]
-        for i, o in enumerate(outs):
+        for i, (kind, o) in enumerate(outs):
+            assert kind == "proba"
             np.testing.assert_array_equal(o, xs[i] * 2.0)  # own row back
         assert mb.requests == 12
         assert mb.batches < 12          # coalescing happened
@@ -282,3 +283,18 @@ def test_tiled_serving_rejects_artifact_predictor():
 
     with pytest.raises(ValueError, match="tiled serving"):
         SegmentationService(FixedShapeOnly(), (32, 32), tile=32)
+
+
+def test_predict_npy_single_mask_device_wire(served):
+    """A single-image ?output=mask request rides the coalesced mask wire
+    (uint8 device threshold) and returns the same float32 {0,1} npy response
+    as the host-threshold path."""
+    base, predictor, _ = served
+    rng = np.random.default_rng(9)
+    u8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    code, body, _ = _post(base + "/v1/predict?output=mask", _npy(u8))
+    assert code == 200
+    mask = np.load(io.BytesIO(body))
+    assert mask.shape == (1, 32, 32, 1) and mask.dtype == np.float32
+    want = (predictor.predict_proba(u8[None]) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(mask, want)

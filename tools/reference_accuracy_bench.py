@@ -1,0 +1,165 @@
+"""Train the REFERENCE PyTorch EELUnet on the hard synthetic task.
+
+Head-to-head accuracy evidence for the north star ("Dice/IoU within 0.5% of
+the PyTorch reference"): this harness trains the reference implementation
+(/root/reference, imported read-only via tests/reference_loader.py) on the
+SAME hard-synthetic samples tools/accuracy_bench.py feeds eelunet_tpu, with
+the reference's own training protocol —
+
+  - criterion  edge_BceDiceLoss(wb=1, wd=1)         train.py:305
+  - optimizer  Adam(lr, weight_decay=1e-5)          train.py:312
+  - scheduler  StepLR(step_size=30, gamma=0.5)      train.py:315
+  - loss dispatch for eelunet (edge_outs, seg_out)  train.py:62-66
+  - metrics    evaluate.evaluate() (confusion + per-sample cv2 boundary F1)
+                                                    evaluate.py:62-124
+
+— and prints the same per-seed table so the two frameworks' trained accuracy
+can be compared on identical data.  CPU-only (no CUDA here), so use small
+image_size/n_train; pass the SAME flags to tools/accuracy_bench.py for the
+eelunet_tpu side of the table.
+
+    python tools/reference_accuracy_bench.py --image_size 64 --n_train 128 \
+        --n_test 32 --epochs 20 --seeds 7686 6716 6345
+
+Caveats (recorded in docs/PERF.md alongside the results): parameter init
+distributions differ between torch defaults and flax defaults, per-epoch
+shuffle RNG streams differ, and eelunet_tpu trains bf16-compute — so rows
+compare final accuracy distributions, not trajectories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+
+METRIC_NAMES = (  # evaluate.py:124 return order
+    "pixel_acc", "precision", "recall", "f1", "iou", "dice",
+    "miou", "boundary_f1", "mdice",
+)
+
+
+def make_loaders(seed: int, image_size: int, n_train: int, n_test: int,
+                 batch_size: int):
+    """The exact arrays accuracy_bench feeds eelunet_tpu, as torch loaders.
+
+    SyntheticDataset pre-normalizes with ImageNet mean/std (the reference
+    normalizes identically, ToothDataset.py:58-61), so tensors convert
+    HWC->CHW with no further preprocessing.
+    """
+    import torch
+    from torch.utils.data import DataLoader, TensorDataset
+
+    from eelunet_tpu.data.synthetic import SyntheticDataset
+
+    def to_tensors(ds):
+        imgs = torch.stack(
+            [torch.from_numpy(np.transpose(img, (2, 0, 1))) for img, _ in ds.samples]
+        )
+        masks = torch.stack(
+            [torch.from_numpy(np.transpose(m, (2, 0, 1))) for _, m in ds.samples]
+        )
+        return TensorDataset(imgs, masks)
+
+    tr = SyntheticDataset(n=n_train, image_size=(image_size, image_size),
+                          seed=seed, difficulty="hard")
+    te = SyntheticDataset(n=n_test, image_size=(image_size, image_size),
+                          seed=seed + 100000, difficulty="hard")
+    g = torch.Generator()
+    g.manual_seed(seed)
+    return (
+        DataLoader(to_tensors(tr), batch_size=batch_size, shuffle=True, generator=g),
+        DataLoader(to_tensors(te), batch_size=batch_size),
+    )
+
+
+def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
+             batch_size: int, epochs: int, lr: float, log) -> dict:
+    import torch
+
+    from reference_loader import load_reference_module
+
+    torch.set_num_threads(1)
+    # set_seed parity (train.py:24-33)
+    random.seed(seed)
+    np.random.seed(seed)
+    torch.manual_seed(seed)
+
+    eel = load_reference_module("models.EELUnet")
+    loss_mod = load_reference_module("utils.Loss")
+    eval_mod = load_reference_module("evaluate")
+
+    model = eel.EELUnet(3, 1)
+    criterion = loss_mod.edge_BceDiceLoss(wb=1, wd=1)
+    optimizer = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
+    scheduler = torch.optim.lr_scheduler.StepLR(optimizer, step_size=30, gamma=0.5)
+
+    train_loader, test_loader = make_loaders(
+        seed, image_size, n_train, n_test, batch_size)
+
+    for epoch in range(epochs):
+        model.train()
+        t0 = time.time()
+        running = 0.0
+        for inputs, labels in train_loader:
+            optimizer.zero_grad()
+            # eelunet loss dispatch: train.py:62-66
+            seg_out, edge_outs = model(inputs)
+            loss = criterion(edge_outs, seg_out, labels)
+            loss.backward()
+            optimizer.step()
+            running += loss.item()
+        scheduler.step()
+        log(f"  seed {seed} epoch {epoch + 1}/{epochs}: "
+            f"train_loss {running / len(train_loader):.4f} "
+            f"({time.time() - t0:.1f}s)")
+
+    vals = eval_mod.evaluate(model, test_loader, torch.device("cpu"))
+    return dict(zip(METRIC_NAMES, (float(v) for v in vals)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, nargs="+", default=[7686, 6716, 6345])
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--n_train", type=int, default=128)
+    p.add_argument("--n_test", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    args = p.parse_args(argv)
+
+    log = lambda m: print(m, file=sys.stderr, flush=True)
+    rows = {}
+    for seed in args.seeds:
+        t0 = time.time()
+        rows[seed] = run_seed(seed, args.image_size, args.n_train, args.n_test,
+                              args.batch_size, args.epochs, args.lr, log)
+        log(f"seed {seed} done in {time.time() - t0:.0f}s: "
+            f"miou {rows[seed]['miou']:.4f} "
+            f"bf1 {rows[seed]['boundary_f1']:.4f}")
+
+    log("")
+    log("| seed | mIoU | mDice | boundary F1 | dice | iou |")
+    log("|---|---|---|---|---|---|")
+    for seed, m in rows.items():
+        log(f"| {seed} | {m['miou']:.4f} | {m['mdice']:.4f} | "
+            f"{m['boundary_f1']:.4f} | {m['dice']:.4f} | {m['iou']:.4f} |")
+    print(json.dumps({
+        "harness": "reference_torch_cpu",
+        "model": "eelunet", "image_size": args.image_size,
+        "epochs": args.epochs, "n_train": args.n_train, "n_test": args.n_test,
+        "batch_size": args.batch_size, "lr": args.lr,
+        "per_seed": {str(s): m for s, m in rows.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

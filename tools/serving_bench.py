@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--window_ms", type=float, default=5.0)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--output", default="proba", choices=["proba", "mask"],
+                    help="mask: request device-thresholded uint8-wire masks "
+                    "(?output=mask) — the serving fast path")
     args = ap.parse_args()
 
     from eelunet_tpu.config import ModelConfig
@@ -62,11 +65,15 @@ def main():
     # timed window — the micro-batcher forms batches of ANY size <= max_batch,
     # and each power-of-two bucket is its own XLA program).
     b = 1
+    warm = (predictor.predict_mask_wire if args.output == "mask"
+            else predictor.predict_proba)
     while True:
-        predictor.predict_proba(np.zeros((b, s, s, 3), np.uint8))
+        warm(np.zeros((b, s, s, 3), np.uint8))
         if b >= args.max_batch:
             break
         b = min(b * 2, args.max_batch)
+    if args.output == "mask":
+        url += "?output=mask"
     # One HTTP round-trip to warm the server path itself.
     req = urllib.request.Request(url, data=bodies[0],
                                  headers={"Content-Type": "application/octet-stream"})
@@ -103,10 +110,12 @@ def main():
     lat = np.sort(np.asarray(latencies)) * 1e3
     nb = service.batcher.batches - n_batches0
     ni = service.batcher.batched_items - n_items0
-    stats = json.loads(urllib.request.urlopen(
-        url.replace("/v1/predict", "/v1/stats"), timeout=60).read())
+    stats_url = (f"http://{server.server_address[0]}"
+                 f":{server.server_address[1]}/v1/stats")
+    stats = json.loads(urllib.request.urlopen(stats_url, timeout=60).read())
     print(json.dumps({
-        "model": args.model, "image_size": s, "clients": args.clients,
+        "model": args.model, "output": args.output,
+        "image_size": s, "clients": args.clients,
         "requests": len(latencies), "wall_s": round(wall, 2),
         "throughput_img_s": round(len(latencies) / wall, 1),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
