@@ -194,8 +194,12 @@ class Predictor:
         if self._batch_sharding is not None:
             self._replicate_weights()
 
-    def _run_program(self, program, images: np.ndarray, *extra) -> np.ndarray:
-        """Pad to the batch bucket, place on device(s), run, slice back."""
+    def _dispatch_program(self, program, images: np.ndarray, *extra):
+        """Pad to the batch bucket, place on device(s), dispatch. Returns
+        ``(device_out, b)`` WITHOUT forcing the readback — JAX dispatch is
+        async, so the caller can overlap this batch's H2D + compute with the
+        previous batch's device->host readback (double-buffered serving,
+        docs/PERF.md serving section)."""
         b = int(images.shape[0])
         target = b
         if self.bucket_batches and b > 0:
@@ -211,8 +215,32 @@ class Predictor:
             x = jax.device_put(np.asarray(images), self._batch_sharding)
         else:
             x = jnp.asarray(images)
-        out = np.asarray(program(self.params, self.batch_stats, x, *extra))
-        return out[:b]
+        return program(self.params, self.batch_stats, x, *extra), b
+
+    def _run_program(self, program, images: np.ndarray, *extra) -> np.ndarray:
+        out, b = self._dispatch_program(program, images, *extra)
+        return np.asarray(out)[:b]
+
+    # -- two-phase (dispatch/collect) API: used by serving's double-buffered
+    #    micro-batcher to overlap batch N+1's transfers with batch N's
+    #    readback. collect(dispatch_x(batch)) == predict_x(batch).
+
+    def dispatch_proba(self, images: np.ndarray):
+        out, b = self._dispatch_program(self._forward, np.asarray(images))
+        return (out, b, "f32")
+
+    def dispatch_mask_wire(self, images: np.ndarray,
+                           threshold: Optional[float] = None):
+        thr = np.float32(self.threshold if threshold is None else threshold)
+        out, b = self._dispatch_program(self._forward_mask, np.asarray(images), thr)
+        return (out, b, None)
+
+    def collect(self, handle) -> np.ndarray:
+        """Force the readback of a dispatch_* handle (blocks until the
+        device batch is done) and apply the public-dtype contract."""
+        out, b, post = handle
+        arr = np.asarray(out)[:b]
+        return arr.astype(np.float32, copy=False) if post == "f32" else arr
 
     def predict_proba(self, images: np.ndarray) -> np.ndarray:
         """(B,H,W,3) images -> (B,H,W,C) float32 probabilities. Accepts

@@ -47,13 +47,25 @@ class MicroBatcher:
     """
 
     def __init__(self, run_batch, max_batch: int = 16, window_ms: float = 5.0,
-                 run_batch_mask=None):
+                 run_batch_mask=None, dispatch_batch=None,
+                 dispatch_batch_mask=None, collect=None):
         # ``run_batch_mask``: optional uint8-wire mask program
         # (Predictor.predict_mask_wire) — used for a coalesced batch when
         # EVERY queued request wants a mask, cutting the device->host
         # readback 4x (the serving bottleneck on a tunneled device).
+        #
+        # ``dispatch_batch``/``dispatch_batch_mask``/``collect``: optional
+        # two-phase forms of the same programs (Predictor.dispatch_proba /
+        # dispatch_mask_wire / collect). When provided, the worker runs
+        # DOUBLE-BUFFERED: it dispatches batch N+1 (async H2D + compute)
+        # before forcing batch N's readback, overlapping transfers with
+        # compute on the device link (measured 388 -> 316 ms/batch at 512^2
+        # batch-8 through the axon tunnel — docs/PERF.md serving section).
         self._run = run_batch
         self._run_mask = run_batch_mask
+        self._dispatch = dispatch_batch
+        self._dispatch_mask = dispatch_batch_mask
+        self._collect = collect
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -122,11 +134,35 @@ class MicroBatcher:
                 break
             fut.set_exception(RuntimeError("MicroBatcher stopped before request ran"))
 
+    def _resolve(self, batch):
+        """Force a dispatched batch's readback and resolve its futures.
+        Caller must hold the device lock."""
+        kind, handle, items, td = batch
+        try:
+            out = self._collect(handle)
+            now = time.monotonic()
+            self.device_ms.append((now - td) * 1e3)
+            for (_, f, t0, _), i in zip(items, range(len(items))):
+                self.latency_ms.append((now - t0) * 1e3)
+                f.set_result((kind, out[i]))
+        except Exception as e:
+            for _, f, _, _ in items:
+                f.set_exception(e)
+
     def _loop(self):
+        pipelined = self._dispatch is not None and self._collect is not None
+        pending = None  # dispatched-but-uncollected batch (pipelined mode)
         while not self._stop.is_set():
             try:
-                first = self._q.get(timeout=0.05)
+                # With a batch in flight, only linger briefly for new work
+                # before forcing its readback — a lone request must not wait
+                # out the full idle poll for its result.
+                first = self._q.get(timeout=0.002 if pending else 0.05)
             except queue.Empty:
+                if pending is not None:
+                    with self._device_lock:
+                        self._resolve(pending)
+                    pending = None
                 continue
             items = [first]
             deadline = time.monotonic() + self.window_s
@@ -149,14 +185,26 @@ class MicroBatcher:
             self.requests += len(items)
             self.batches += 1
             self.batched_items += len(items)
+            kind = "mask" if use_mask else "proba"
             try:
                 td = time.monotonic()
                 with self._device_lock:
+                    if pipelined and not (
+                        use_mask and self._dispatch_mask is None
+                    ):
+                        handle = (
+                            self._dispatch_mask if use_mask else self._dispatch
+                        )(np.stack(images))
+                        if pending is not None:
+                            # batch N's readback overlaps batch N+1's
+                            # (already dispatched) H2D + compute
+                            self._resolve(pending)
+                        pending = (kind, handle, items, td)
+                        continue
                     out = (self._run_mask if use_mask else self._run)(
                         np.stack(images)
                     )
                 now = time.monotonic()
-                kind = "mask" if use_mask else "proba"
                 self.device_ms.append((now - td) * 1e3)
                 for (_, f, t0, _), i in zip(items, range(len(items))):
                     self.latency_ms.append((now - t0) * 1e3)
@@ -164,6 +212,9 @@ class MicroBatcher:
             except Exception as e:  # propagate to every waiter in the batch
                 for f in futs:
                     f.set_exception(e)
+        if pending is not None:  # stop() mid-flight: never strand waiters
+            with self._device_lock:
+                self._resolve(pending)
 
 
 class SegmentationService:
@@ -211,9 +262,23 @@ class SegmentationService:
             (lambda batch: mask_wire(batch, threshold=self.threshold))
             if mask_wire is not None else None
         )
+        # Two-phase dispatch/collect (double-buffered batcher) when the
+        # predictor supports it — live Predictors do, StableHLO artifact
+        # models run the plain synchronous path.
+        two_phase = all(
+            hasattr(predictor, a)
+            for a in ("dispatch_proba", "dispatch_mask_wire", "collect")
+        )
         self.batcher = MicroBatcher(
             predictor.predict_proba, max_batch=max_batch, window_ms=window_ms,
             run_batch_mask=run_mask,
+            dispatch_batch=predictor.dispatch_proba if two_phase else None,
+            dispatch_batch_mask=(
+                (lambda batch: predictor.dispatch_mask_wire(
+                    batch, threshold=self.threshold))
+                if two_phase else None
+            ),
+            collect=predictor.collect if two_phase else None,
         )
 
     def close(self):
