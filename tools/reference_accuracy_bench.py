@@ -122,7 +122,13 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
             f"({time.time() - t0:.1f}s)")
 
     vals = eval_mod.evaluate(model, test_loader, torch.device("cpu"))
-    return dict(zip(METRIC_NAMES, (float(v) for v in vals)))
+    out = dict(zip(METRIC_NAMES, (float(v) for v in vals)))
+    # train-set eval (same eval-mode metrics): separates "failed to learn"
+    # from "learned but doesn't generalize / eval-mode BN collapse"
+    tvals = eval_mod.evaluate(model, train_loader, torch.device("cpu"))
+    out["train_miou"] = float(tvals[6])
+    out["train_dice"] = float(tvals[5])
+    return out
 
 
 def main(argv=None):
@@ -133,7 +139,9 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=128)
     p.add_argument("--n_test", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--lr", type=float, default=1e-3)
+    # reference train.py:229 default; 1e-3 diverges the torch-init EELUnet
+    # on this task (measured: eval collapses to all-bg/all-fg)
+    p.add_argument("--lr", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     log = lambda m: print(m, file=sys.stderr, flush=True)
