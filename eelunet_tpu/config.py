@@ -163,6 +163,14 @@ class TrainConfig:
                                       # with batch_size/accum_steps; batch_size
                                       # must be divisible by it)
     donate_buffers: bool = True
+    async_checkpoint: bool = True     # overlap checkpoint writes with the next
+                                      # epoch's compute: saves snapshot the
+                                      # state on device (compiled copy) and a
+                                      # background worker pays the device->host
+                                      # fetch + orbax write — the dominant
+                                      # per-epoch cost on tunnel rigs
+                                      # (docs/PERF.md). Single-process only
+                                      # (multihost saves stay synchronous).
     profile_steps: int = 0            # trace this many train steps (skipping the
                                       # compile step) with jax.profiler into
                                       # log_dir/<model>/profile — TB-viewable

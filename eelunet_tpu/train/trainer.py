@@ -248,7 +248,10 @@ class Trainer:
         )
         self.loss_fn = make_loss_fn(self.loss_name, cfg.loss, self.meta)
         self._steps: Dict[str, Any] = {}
-        self.ckpt = CheckpointManager(cfg.save_dir, cfg.model.name)
+        self.ckpt = CheckpointManager(
+            cfg.save_dir, cfg.model.name,
+            async_writes=getattr(cfg, "async_checkpoint", False),
+        )
         self.best = BestTracker()
         self._profiled = False
 
@@ -527,11 +530,18 @@ class Trainer:
 
             # Weights-only + hardlink-deduped (reference state_dict policy;
             # skips the per-epoch optimizer-moments device fetch — measured
-            # checkpoint-cost entry in docs/PERF.md).
-            self.ckpt.save_weights_tags(self.best.update(metrics, val_loss), state)
+            # checkpoint-cost entry in docs/PERF.md). background=True hands
+            # the device->host fetch + write to the async writer so it
+            # overlaps the next epoch's compute (fit drains the queue before
+            # returning; docs/PERF.md async-checkpoint entry).
+            bg = bool(getattr(cfg, "async_checkpoint", False))
+            self.ckpt.save_weights_tags(
+                self.best.update(metrics, val_loss), state, background=bg
+            )
             if (epoch + 1) % cfg.snapshot_every == 0:
-                self.ckpt.save(f"epoch_{epoch + 1}", state, epoch=epoch + 1)
-                self.ckpt.prune_snapshots(cfg.keep_snapshots)
+                self.ckpt.save(f"epoch_{epoch + 1}", state, epoch=epoch + 1,
+                               background=bg)
+                self.ckpt.prune_snapshots(cfg.keep_snapshots, background=bg)
 
             dt = time.time() - t0
             log(
@@ -547,7 +557,16 @@ class Trainer:
             if primary:
                 with open(json_path, "w") as f:
                     json.dump(history, f, indent=2)
-                self.best.save(self.ckpt.root)
+                # best_meta must not outrun its best-tag checkpoints (a crash
+                # in the gap would make resume skip re-saving a tag that never
+                # landed), so the write queues behind any pending async saves
+                # — on a value snapshot, since self.best mutates next epoch.
+                import copy as _copy
+
+                best_snapshot = _copy.deepcopy(self.best)
+                self.ckpt.run_after_saves(
+                    partial(best_snapshot.save, self.ckpt.root)
+                )
 
         if cfg.epochs > start_epoch and cfg.epochs % cfg.snapshot_every != 0:
             # Final full snapshot: with best tags weights-only, this (plus
@@ -555,12 +574,20 @@ class Trainer:
             # Skipped when the final epoch already wrote its epoch_N snapshot
             # (an identical full save — `last` would double the device fetch
             # and disk for nothing; latest_path finds epoch_N by mtime).
-            self.ckpt.save("last", state, epoch=cfg.epochs)
+            self.ckpt.save("last", state, epoch=cfg.epochs,
+                           background=bool(getattr(cfg, "async_checkpoint", False)))
         if cfg.epochs > start_epoch and getattr(state, "ema_params", None) is not None:
             # Weights-only EMA tag: evaluate/predict/serve it like any best
             # tag (--checkpoint .../{name}_ema). The EMA also lives in every
             # full snapshot, so resume keeps averaging seamlessly.
-            self.ckpt.save_weights_tags(["ema"], state.replace(params=state.ema_params))
+            self.ckpt.save_weights_tags(
+                ["ema"], state.replace(params=state.ema_params),
+                background=bool(getattr(cfg, "async_checkpoint", False)),
+            )
+        # Drain the async checkpoint queue before declaring the run complete:
+        # every tag/snapshot is on disk when fit() returns, and a failed
+        # background write surfaces here instead of being silently dropped.
+        self.ckpt.wait()
         log(
             "Training complete. Best: "
             + " ".join(f"{k}={v:.4f}" for k, v in self.best.best.items())
