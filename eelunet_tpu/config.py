@@ -163,6 +163,13 @@ class TrainConfig:
                                       # with batch_size/accum_steps; batch_size
                                       # must be divisible by it)
     donate_buffers: bool = True
+    skip_nonfinite_updates: bool = False  # guard each optimizer step on device:
+                                      # a non-finite loss or gradient reverts
+                                      # the whole update (params/moments/BN/EMA)
+                                      # via a predicated select — no host sync;
+                                      # skipped counts are logged per epoch.
+                                      # Off = reference behavior (a NaN batch
+                                      # silently poisons the model).
     async_checkpoint: bool = True     # overlap checkpoint writes with the next
                                       # epoch's compute: saves snapshot the
                                       # state on device (compiled copy) and a

@@ -125,7 +125,7 @@ def finetune_pruned(trainer, state, masks, train_loader, val_loader, epochs: int
     for epoch in range(epochs):
         total, n = 0.0, 0
         for images, labels in trainer._device_batches(train_loader):
-            state, loss = step(state, images, labels)
+            state, loss, _ok = step(state, images, labels)
             # re-mask after every update, like torch's pruning forward hooks
             state = state.replace(params=remask(state.params))
             total += float(loss)

@@ -96,7 +96,19 @@ def make_train_step(
     remat: bool = False,
     accum_steps: int = 1,
     random_flip: bool = False,
+    skip_nonfinite: bool = False,
 ):
+    """Build the jitted train step. Returns ``(new_state, loss, ok)``.
+
+    ``skip_nonfinite=True`` (TrainConfig.skip_nonfinite_updates) guards the
+    update entirely ON DEVICE: if the loss or any gradient leaf is
+    non-finite, the whole state update (params, Adam moments, BN stats, step,
+    EMA) is reverted to the incoming state via a predicated select — no
+    per-step host sync, so the async dispatch pipeline is untouched. ``ok``
+    reports the verdict (constant True when the guard is off); the Trainer
+    accumulates it on device and surfaces a per-epoch skipped-step count.
+    The reference has no such guard (a NaN batch poisons the torch model
+    silently, SURVEY.md §5 failure handling) — off by default to match."""
     def maybe_flip(state: TrainState, images, labels):
         if not random_flip:
             return images, labels
@@ -128,11 +140,28 @@ def make_train_step(
         (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
         return loss, new_stats, grads
 
+    def guarded_apply(state: TrainState, loss, new_stats, grads):
+        new_state = state.apply_gradients(grads, new_stats)
+        if not skip_nonfinite:
+            return new_state, jnp.bool_(True)
+        ok = jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(grads):
+            ok = ok & jnp.all(jnp.isfinite(g))
+        # Predicated select over the whole state pytree: one pass of HBM
+        # traffic, no branches — XLA-friendly, unlike a host-side check.
+        reverted = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_state, state
+        )
+        # `step` advances regardless: the batch was consumed (LR schedule and
+        # the step-keyed flip RNG stay aligned with batches seen), only the
+        # update was dropped.
+        return reverted.replace(step=new_state.step), ok
+
     def train_step(state: TrainState, images, labels):
         images, labels = maybe_flip(state, images, labels)
         loss, new_stats, grads = grads_of(state.params, state.batch_stats, images, labels)
-        new_state = state.apply_gradients(grads, new_stats)
-        return new_state, loss
+        new_state, ok = guarded_apply(state, loss, new_stats, grads)
+        return new_state, loss, ok
 
     def train_step_accum(state: TrainState, images, labels):
         images, labels = maybe_flip(state, images, labels)
@@ -161,8 +190,9 @@ def make_train_step(
         init = (state.batch_stats, zero_g, jnp.zeros((), jnp.float32))
         (new_stats, gsum, lsum), _ = jax.lax.scan(body, init, (im, lb))
         grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
-        new_state = state.apply_gradients(grads, new_stats)
-        return new_state, lsum / accum_steps
+        loss = lsum / accum_steps
+        new_state, ok = guarded_apply(state, loss, new_stats, grads)
+        return new_state, loss, ok
 
     fn = train_step_accum if accum_steps > 1 else train_step
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
@@ -254,6 +284,7 @@ class Trainer:
         )
         self.best = BestTracker()
         self._profiled = False
+        self.last_skipped_steps = 0  # non-finite-guard skips, latest epoch
 
     # -- state ---------------------------------------------------------------
     def init_state(self, steps_per_epoch: int = 1) -> TrainState:
@@ -324,6 +355,7 @@ class Trainer:
                 train_model, self.loss_fn, has_bs, self.cfg.donate_buffers,
                 self.cfg.remat, self.cfg.accum_steps,
                 random_flip=self.cfg.data.random_flip,
+                skip_nonfinite=getattr(self.cfg, "skip_nonfinite_updates", False),
             )
         elif name == "eval_loss":
             fn = make_eval_loss_step(self.model, self.loss_fn, has_bs)
@@ -375,8 +407,14 @@ class Trainer:
         )
 
     def train_one_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float]:
+        """One pass over ``loader``; returns (state, mean loss over applied
+        steps). Steps the non-finite guard skipped are excluded from the mean
+        and counted in ``self.last_skipped_steps`` (0 when the guard is off) —
+        accumulated on device, read back once per epoch."""
         step = self._get_step("train", state)
+        guard = getattr(self.cfg, "skip_nonfinite_updates", False)
         total = jnp.zeros((), jnp.float32)
+        n_ok = jnp.zeros((), jnp.float32)
         n = 0
         # profile_steps > 0: trace steps [1, 1+profile_steps) of the first
         # epoch (step 0 is the compile) into log_dir/<model>/profile.
@@ -393,8 +431,12 @@ class Trainer:
                 os.makedirs(prof_dir, exist_ok=True)
                 jax.profiler.start_trace(prof_dir)
                 tracing = True
-            state, loss = step(state, images, labels)
-            total = total + loss
+            state, loss, ok = step(state, images, labels)
+            if guard:
+                total = total + jnp.where(ok, loss, 0.0)
+                n_ok = n_ok + ok.astype(jnp.float32)
+            else:  # ok is constant True: skip the two extra per-step dispatches
+                total = total + loss
             n += 1
             if tracing and i >= want_prof:  # steps 1..want_prof captured
                 float(total)  # drain the chained steps through the tunnel
@@ -405,7 +447,9 @@ class Trainer:
             float(total)
             jax.profiler.stop_trace()
             self._profiled = True
-        return state, float(total) / max(n, 1)
+        applied = float(n_ok) if guard else float(n)
+        self.last_skipped_steps = n - int(round(applied))
+        return state, float(total) / max(applied, 1.0)
 
     def val_one_epoch(self, state: TrainState, loader) -> float:
         step = self._get_step("eval_loss", state)
@@ -519,6 +563,12 @@ class Trainer:
                 # replay the uninterrupted run's batch order exactly.
                 train_loader.set_epoch(epoch)
             state, train_loss = self.train_one_epoch(state, train_loader)
+            if self.last_skipped_steps:
+                log(
+                    f"WARNING: epoch {epoch + 1}: skipped "
+                    f"{self.last_skipped_steps} non-finite update(s) "
+                    "(skip_nonfinite_updates guard)"
+                )
             val_loss = self.val_one_epoch(state, val_loader)
             metrics = self.evaluate(state, test_loader) if (epoch + 1) % cfg.eval_every == 0 else {}
 

@@ -50,10 +50,10 @@ def test_ema_update_math(tmp_path):
     yb = (rng.uniform(size=(4, 32, 32, 1)) > 0.5).astype(np.float32)
 
     p0 = _leaves(state.params)
-    s1, _ = step(state, xb, yb)
+    s1, _, _ = step(state, xb, yb)
     for e1, p1, e0 in zip(_leaves(s1.ema_params), _leaves(s1.params), p0):
         np.testing.assert_allclose(e1, d * e0 + (1 - d) * p1, rtol=2e-6, atol=1e-7)
-    s2, _ = step(s1, xb, yb)
+    s2, _, _ = step(s1, xb, yb)
     for e2, p2, e1 in zip(_leaves(s2.ema_params), _leaves(s2.params),
                           _leaves(s1.ema_params)):
         np.testing.assert_allclose(e2, d * e1 + (1 - d) * p2, rtol=2e-6, atol=1e-7)

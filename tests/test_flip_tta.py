@@ -111,8 +111,8 @@ def test_train_with_random_flip_and_tta_eval(tmp_path):
 
     batch = next(iter(loader))
     xb, yb = jnp.asarray(batch[0]), jnp.asarray(batch[1])
-    _, l_plain = t_plain._get_step("train", s_plain)(s_plain, xb, yb)
-    _, l_flip = t_flip._get_step("train", s_flip)(s_flip, xb, yb)
+    _, l_plain, _ = t_plain._get_step("train", s_plain)(s_plain, xb, yb)
+    _, l_flip, _ = t_flip._get_step("train", s_flip)(s_flip, xb, yb)
     assert np.isfinite(float(l_plain)) and np.isfinite(float(l_flip))
     # same init, same batch; flipped inputs change the loss (u8 synthetic
     # content is not flip-symmetric)

@@ -89,11 +89,11 @@ def _main_only_loss(meta):
 
 def measure_step(step, state, images, labels, iters: int) -> float:
     """ms per training step; one readback syncs the chained donated steps."""
-    state, loss = step(state, images, labels)
+    state, loss, _ok = step(state, images, labels)
     float(loss)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, images, labels)
+        state, loss, _ok = step(state, images, labels)
     float(loss)
     dt = time.perf_counter() - t0
     return dt / iters * 1e3

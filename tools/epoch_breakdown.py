@@ -68,12 +68,12 @@ def main():
     step = trainer._get_step("train", state)
     # step donates its state argument (cfg.donate_buffers): never reuse a
     # state pytree after passing it in — chain the returned one.
-    s, loss = step(state, *batch)  # compile
+    s, loss, _ok = step(state, *batch)  # compile
     float(loss)
     nsteps = max(1, len(train_loader))
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        s, loss = step(s, *batch)
+        s, loss, _ok = step(s, *batch)
     float(loss)  # drain through the tunnel
     res["compute_only_s"] = round(time.perf_counter() - t0, 3)
     res["compute_only_ms_per_step"] = round(res["compute_only_s"] / nsteps * 1e3, 1)

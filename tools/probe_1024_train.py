@@ -65,13 +65,13 @@ def main():
            "batch": batch, "accum_steps": accum, "remat": remat}
     try:
         t0 = time.perf_counter()
-        state, loss = step(state, images, labels)   # compile + step 1
+        state, loss, _ok = step(state, images, labels)  # compile + step 1
         l0 = float(loss)                            # drain through the tunnel
         res["compile_plus_step_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
         n = 5
         for _ in range(n):
-            state, loss = step(state, images, labels)
+            state, loss, _ok = step(state, images, labels)
         l1 = float(loss)
         res["ms_per_step"] = round((time.perf_counter() - t0) / n * 1e3, 1)
         res["ok"] = bool(l0 == l0 and l1 == l1)     # finite (not NaN)
