@@ -31,6 +31,14 @@ def main(argv=None):
                    help="serve at NATIVE input resolution via fixed-shape "
                    "sliding windows of this size (0 = resize to image_size)")
     p.add_argument("--tile_overlap", type=int, default=64)
+    p.add_argument("--max_pending", type=int, default=128,
+                   help="admission bound on pending work (queued + in "
+                   "flight); beyond it requests shed with 503 + Retry-After "
+                   "(0 = unbounded)")
+    p.add_argument("--deadline_ms", type=float, default=0.0,
+                   help="default per-request deadline; a request still "
+                   "queued past it fails with 504 (0 = none; per-request "
+                   "override via ?deadline_ms=)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -76,6 +84,7 @@ def main(argv=None):
         max_batch=args.max_batch, window_ms=args.window_ms,
         threshold=args.threshold,
         tile=args.tile, tile_overlap=args.tile_overlap,
+        max_pending=args.max_pending, deadline_ms=args.deadline_ms,
     )
     server = make_server(service, name, args.host, args.port)
     h, w = image_size

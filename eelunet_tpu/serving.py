@@ -36,6 +36,16 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """Raised when the server sheds a request because the pending-work bound
+    (``max_pending``) is reached — mapped to HTTP 503 + Retry-After."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Raised when a request's deadline expires while it is still queued
+    (never after its batch has started) — mapped to HTTP 504."""
+
+
 class MicroBatcher:
     """Coalesces concurrent single-image requests into device batches.
 
@@ -48,7 +58,8 @@ class MicroBatcher:
 
     def __init__(self, run_batch, max_batch: int = 16, window_ms: float = 5.0,
                  run_batch_mask=None, dispatch_batch=None,
-                 dispatch_batch_mask=None, collect=None):
+                 dispatch_batch_mask=None, collect=None,
+                 max_pending: int = 0):
         # ``run_batch_mask``: optional uint8-wire mask program
         # (Predictor.predict_mask_wire) — used for a coalesced batch when
         # EVERY queued request wants a mask, cutting the device->host
@@ -68,6 +79,17 @@ class MicroBatcher:
         self._collect = collect
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1e3
+        # Backpressure: ``max_pending`` bounds TOTAL admitted-but-unfinished
+        # work — coalesce-queue depth plus direct jobs waiting on the device
+        # lock. 0 = unbounded (library default; cli.serve sets a real bound).
+        # Beyond the bound, submit()/run_exclusive raise Overloaded and the
+        # HTTP layer sheds with 503 + Retry-After instead of letting queue
+        # memory and tail latency grow without limit.
+        self.max_pending = int(max_pending)
+        self._pending_lock = threading.Lock()
+        self._direct_waiting = 0
+        self.shed = 0      # requests rejected at the admission bound
+        self.expired = 0   # requests whose deadline passed while queued
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._submit_lock = threading.Lock()
@@ -87,32 +109,76 @@ class MicroBatcher:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def submit(self, image: np.ndarray, want: str = "proba") -> Future:
+    def _admit(self, items: int = 1):
+        """Admission control: raise Overloaded if accepting ``items`` more
+        units of pending work would exceed ``max_pending`` (queued singles +
+        direct jobs waiting on the device). Caller must hold _pending_lock."""
+        existing = self._q.qsize() + self._direct_waiting
+        # A lone oversized batch (items > max_pending on an idle server) is
+        # still admitted — the bound limits GROWTH of pending work, it is not
+        # a max request size.
+        if self.max_pending and existing and existing + items > self.max_pending:
+            self.shed += items
+            raise Overloaded(
+                f"server overloaded: {existing} pending + {items} new > "
+                f"max_pending={self.max_pending}"
+            )
+
+    def submit(self, image: np.ndarray, want: str = "proba",
+               deadline_s: Optional[float] = None) -> Future:
         """Enqueue one image; the Future resolves to ``(kind, row)`` where
         ``kind`` is "proba" (float probabilities) or "mask" (uint8 mask —
-        only when want="mask" and the whole coalesced batch wanted masks)."""
+        only when want="mask" and the whole coalesced batch wanted masks).
+
+        Raises Overloaded when the pending bound is hit. ``deadline_s``
+        (relative) fails the Future with DeadlineExceeded if the request is
+        still queued when it expires; once its batch starts it always runs."""
         fut: Future = Future()
         with self._submit_lock:
             if self._stop.is_set():
                 fut.set_exception(RuntimeError("MicroBatcher is stopped"))
                 return fut
-            self._q.put((image, fut, time.monotonic(), want))
+            with self._pending_lock:
+                self._admit()
+                now = time.monotonic()
+                deadline = now + deadline_s if deadline_s else None
+                self._q.put((image, fut, now, want, deadline))
         return fut
 
-    def run_direct(self, batch: np.ndarray) -> np.ndarray:
+    def run_direct(self, batch: np.ndarray,
+                   deadline_s: Optional[float] = None) -> np.ndarray:
         """Run a pre-assembled batch under the device lock (bypasses
         coalescing but not the single-device-owner invariant)."""
-        return self.run_exclusive(lambda: self._run(batch), items=int(batch.shape[0]))
+        return self.run_exclusive(lambda: self._run(batch),
+                                  items=int(batch.shape[0]),
+                                  deadline_s=deadline_s)
 
-    def run_exclusive(self, thunk, items: int = 1):
+    def run_exclusive(self, thunk, items: int = 1,
+                      deadline_s: Optional[float] = None):
         """Run an arbitrary device job under the device lock with the same
         accounting as coalesced batches — /v1/stats must cover ALL traffic
         (pre-batched npy, float singles, and tiled native-resolution jobs
-        route through here)."""
+        route through here). Direct jobs count toward ``max_pending`` while
+        they wait for the device; an expired ``deadline_s`` fails the job
+        with DeadlineExceeded if the wait outlived it."""
+        with self._pending_lock:
+            self._admit(items)
+            self._direct_waiting += items
         t0 = time.monotonic()
-        with self._device_lock:
-            td = time.monotonic()
-            out = thunk()
+        deadline = t0 + deadline_s if deadline_s else None
+        try:
+            with self._device_lock:
+                if deadline is not None and time.monotonic() > deadline:
+                    self.expired += items
+                    raise DeadlineExceeded(
+                        f"deadline expired after {deadline_s * 1e3:.0f} ms "
+                        "waiting for the device"
+                    )
+                td = time.monotonic()
+                out = thunk()
+        finally:
+            with self._pending_lock:
+                self._direct_waiting -= items
         now = time.monotonic()
         self.requests += int(items)
         self.batches += 1
@@ -129,7 +195,7 @@ class MicroBatcher:
         # Future.result() (submit() rejects new work once _stop is set).
         while True:
             try:
-                _, fut, _, _ = self._q.get_nowait()
+                _, fut, _, _, _ = self._q.get_nowait()
             except queue.Empty:
                 break
             fut.set_exception(RuntimeError("MicroBatcher stopped before request ran"))
@@ -142,12 +208,22 @@ class MicroBatcher:
             out = self._collect(handle)
             now = time.monotonic()
             self.device_ms.append((now - td) * 1e3)
-            for (_, f, t0, _), i in zip(items, range(len(items))):
+            for (_, f, t0, _, _), i in zip(items, range(len(items))):
                 self.latency_ms.append((now - t0) * 1e3)
                 f.set_result((kind, out[i]))
         except Exception as e:
-            for _, f, _, _ in items:
+            for _, f, _, _, _ in items:
                 f.set_exception(e)
+
+    def _expire(self, item) -> bool:
+        """Fail a queued item whose deadline has passed; True if expired."""
+        _, fut, _, _, dl = item
+        if dl is not None and time.monotonic() > dl:
+            self.expired += 1
+            fut.set_exception(DeadlineExceeded(
+                "deadline expired while queued"))
+            return True
+        return False
 
     def _loop(self):
         pipelined = self._dispatch is not None and self._collect is not None
@@ -164,23 +240,27 @@ class MicroBatcher:
                         self._resolve(pending)
                     pending = None
                 continue
+            if self._expire(first):
+                continue
             items = [first]
-            deadline = time.monotonic() + self.window_s
+            window_end = time.monotonic() + self.window_s
             while len(items) < self.max_batch:
-                left = deadline - time.monotonic()
+                left = window_end - time.monotonic()
                 if left <= 0:
                     break
                 try:
-                    items.append(self._q.get(timeout=left))
+                    nxt = self._q.get(timeout=left)
                 except queue.Empty:
                     break
-            images = [im for im, _, _, _ in items]
-            futs = [f for _, f, _, _ in items]
+                if not self._expire(nxt):
+                    items.append(nxt)
+            images = [im for im, _, _, _, _ in items]
+            futs = [f for _, f, _, _, _ in items]
             # uint8 mask wire iff every request in THIS batch wants a mask
             # (mixed batches run the proba program; mask requesters then
             # threshold on host — same values, just more readback bytes).
             use_mask = self._run_mask is not None and all(
-                w == "mask" for _, _, _, w in items
+                w == "mask" for _, _, _, w, _ in items
             )
             self.requests += len(items)
             self.batches += 1
@@ -206,7 +286,7 @@ class MicroBatcher:
                     )
                 now = time.monotonic()
                 self.device_ms.append((now - td) * 1e3)
-                for (_, f, t0, _), i in zip(items, range(len(items))):
+                for (_, f, t0, _, _), i in zip(items, range(len(items))):
                     self.latency_ms.append((now - t0) * 1e3)
                     f.set_result((kind, out[i]))
             except Exception as e:  # propagate to every waiter in the batch
@@ -229,6 +309,8 @@ class SegmentationService:
         threshold: Optional[float] = None,
         tile: int = 0,
         tile_overlap: int = 64,
+        max_pending: int = 0,
+        deadline_ms: float = 0.0,
     ):
         # ``predictor`` is anything with predict_proba(batch)->probs:
         # inference.Predictor (checkpoint serving) or export.ExportedModel
@@ -243,6 +325,9 @@ class SegmentationService:
         # model's training scale in /v1/healthz.
         self.tile = int(tile)
         self.tile_overlap = int(tile_overlap)
+        # Server-wide default deadline (0 = none); per-request override via
+        # ?deadline_ms=. Converted to relative seconds at request entry.
+        self.deadline_ms = float(deadline_ms)
         if self.tile and not hasattr(predictor, "predict_proba_tiled"):
             raise ValueError(
                 "tiled serving needs a checkpoint-backed Predictor "
@@ -279,7 +364,12 @@ class SegmentationService:
                 if two_phase else None
             ),
             collect=predictor.collect if two_phase else None,
+            max_pending=max_pending,
         )
+
+    def _deadline_s(self, deadline_ms: Optional[float]) -> Optional[float]:
+        ms = self.deadline_ms if deadline_ms is None else float(deadline_ms)
+        return (ms / 1e3) if ms > 0 else None
 
     def close(self):
         self.batcher.stop()
@@ -313,24 +403,29 @@ class SegmentationService:
             img = img.resize((w, h), Image.BILINEAR)  # dataset.py resize parity
         return np.asarray(img, np.uint8)
 
-    def _run_tiled(self, batch: np.ndarray) -> np.ndarray:
+    def _run_tiled(self, batch: np.ndarray,
+                   deadline_s: Optional[float] = None) -> np.ndarray:
         return self.batcher.run_exclusive(
             lambda: self.predictor.predict_proba_tiled(
                 batch, tile=self.tile, overlap=self.tile_overlap
             ),
             items=int(batch.shape[0]),
+            deadline_s=deadline_s,
         )
 
     # -- request entry points ----------------------------------------------
 
-    def predict_npy(self, body: bytes, output: str = "proba") -> bytes:
+    def predict_npy(self, body: bytes, output: str = "proba",
+                    deadline_ms: Optional[float] = None) -> bytes:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
         batch = self._check_array(arr)
+        dl = self._deadline_s(deadline_ms)
         out = None  # (B,H,W,1) mask already computed on device, or None
         if self.tile:
-            probs = self._run_tiled(batch)
+            probs = self._run_tiled(batch, deadline_s=dl)
         elif batch.shape[0] == 1 and batch.dtype == np.uint8:
-            kind, row = self.batcher.submit(batch[0], want=output).result()
+            kind, row = self.batcher.submit(
+                batch[0], want=output, deadline_s=dl).result()
             if kind == "mask":
                 out = row[None]
             else:
@@ -344,10 +439,11 @@ class SegmentationService:
             run_mask = self.batcher._run_mask
             if output == "mask" and run_mask is not None:
                 out = self.batcher.run_exclusive(
-                    lambda: run_mask(batch), items=int(batch.shape[0])
+                    lambda: run_mask(batch), items=int(batch.shape[0]),
+                    deadline_s=dl,
                 )
             else:
-                probs = self.batcher.run_direct(batch)
+                probs = self.batcher.run_direct(batch, deadline_s=dl)
         if output == "mask" and out is None:
             from eelunet_tpu.inference import _probs_to_mask
 
@@ -356,15 +452,18 @@ class SegmentationService:
         np.save(buf, np.asarray(out if output == "mask" else probs, np.float32))
         return buf.getvalue()
 
-    def predict_png(self, body: bytes) -> bytes:
+    def predict_png(self, body: bytes,
+                    deadline_ms: Optional[float] = None) -> bytes:
         from PIL import Image
 
         rgb = self._decode_image(body)
+        dl = self._deadline_s(deadline_ms)
         mask = None
         if self.tile:
-            probs = self._run_tiled(rgb[None])[0]
+            probs = self._run_tiled(rgb[None], deadline_s=dl)[0]
         else:
-            kind, row = self.batcher.submit(rgb, want="mask").result()
+            kind, row = self.batcher.submit(
+                rgb, want="mask", deadline_s=dl).result()
             if kind == "mask":  # device-computed uint8: {0,1} or class ids
                 mask = row[..., 0]
                 if self._n_classes == 1:
@@ -396,6 +495,13 @@ class SegmentationService:
             "avg_batch": round(b.batched_items / b.batches, 3) if b.batches else 0.0,
             "max_batch": b.max_batch,
             "window_ms": b.window_s * 1e3,
+            # Backpressure: admission bound, current depth, and shed/expired
+            # counters (503s and queued-past-deadline 504s).
+            "max_pending": b.max_pending or None,
+            "queue_depth": b._q.qsize() + b._direct_waiting,
+            "shed": b.shed,
+            "expired": b.expired,
+            "deadline_ms": self.deadline_ms or None,
             # Tail latency over the last <=2048 samples: request wall time
             # (enqueue -> result) and per-batch device time.
             "latency_ms": pct(b.latency_ms),
@@ -411,11 +517,13 @@ def make_server(service: SegmentationService, model_name: str,
         def log_message(self, *a):  # quiet; stats live at /v1/stats
             pass
 
-        def _json(self, code: int, obj: dict):
+        def _json(self, code: int, obj: dict, headers: Optional[dict] = None):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -438,6 +546,8 @@ def make_server(service: SegmentationService, model_name: str,
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            from urllib.parse import parse_qs
+
             path, _, query = self.path.partition("?")
             if path != "/v1/predict":
                 return self._json(404, {"error": f"no route {path}"})
@@ -445,12 +555,24 @@ def make_server(service: SegmentationService, model_name: str,
             body = self.rfile.read(n)
             ctype = (self.headers.get("Content-Type") or "").lower()
             try:
+                q = parse_qs(query)
+                # per-request deadline override (ms); falls back to the
+                # server-wide default when absent
+                dl = q.get("deadline_ms")
+                deadline_ms = float(dl[0]) if dl else None
                 if ctype.startswith("image/"):
-                    self._bytes(service.predict_png(body), "image/png")
+                    self._bytes(service.predict_png(body, deadline_ms),
+                                "image/png")
                 else:
-                    output = "mask" if "output=mask" in query else "proba"
-                    self._bytes(service.predict_npy(body, output),
+                    output = ("mask" if q.get("output", [""])[0] == "mask"
+                              else "proba")
+                    self._bytes(service.predict_npy(body, output, deadline_ms),
                                 "application/octet-stream")
+            except Overloaded as e:
+                # shed: client should back off and retry
+                self._json(503, {"error": str(e)}, {"Retry-After": "1"})
+            except DeadlineExceeded as e:
+                self._json(504, {"error": str(e)})
             except ValueError as e:
                 self._json(400, {"error": str(e)})
             except Exception as e:

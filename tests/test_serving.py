@@ -363,6 +363,222 @@ def test_microbatcher_double_buffered_stop_resolves_inflight():
     mb.stop()
 
 
+# ---------------------------------------------------------- backpressure
+
+class _SlowPredictor:
+    """Minimal predictor (predict_proba only) with a controllable service
+    time, for overload tests that must not depend on compile latency."""
+
+    def __init__(self, delay_s=0.05):
+        self.delay_s = delay_s
+
+    def predict_proba(self, batch):
+        time.sleep(self.delay_s)
+        b, h, w, _ = batch.shape
+        return np.full((b, h, w, 1), 0.75, np.float32)
+
+
+def _slow_batcher(delay_s=0.2, **kw):
+    def run(batch):
+        time.sleep(delay_s)
+        return batch.astype(np.float32)
+
+    return MicroBatcher(run, **kw)
+
+
+def test_microbatcher_sheds_on_max_pending():
+    """Beyond max_pending queued items, submit() raises Overloaded and the
+    shed counter advances; after the backlog drains, admission reopens."""
+    from eelunet_tpu.serving import Overloaded
+
+    mb = _slow_batcher(delay_s=0.3, max_batch=1, window_ms=1.0, max_pending=3)
+    try:
+        ok, shed = [], 0
+        for i in range(12):
+            try:
+                ok.append(mb.submit(np.full((2, 2), i, np.float32)))
+            except Overloaded:
+                shed += 1
+        assert shed > 0 and len(ok) >= 1
+        assert mb.shed == shed
+        # pending never exceeded the bound (qsize is the queued backlog)
+        assert mb._q.qsize() <= mb.max_pending
+        for f in ok:
+            f.result(timeout=30)
+        # backlog drained -> new work admitted again
+        mb.submit(np.zeros((2, 2), np.float32)).result(timeout=30)
+    finally:
+        mb.stop()
+
+
+def test_microbatcher_deadline_fails_queued_only():
+    """A deadline expires a request only while QUEUED; once its batch has
+    started it always completes. Expired futures fail with DeadlineExceeded
+    and advance the expired counter."""
+    from eelunet_tpu.serving import DeadlineExceeded
+
+    mb = _slow_batcher(delay_s=0.4, max_batch=1, window_ms=1.0)
+    try:
+        # first occupies the worker; generous deadline — must complete even
+        # though service time (0.4s) exceeds it after start
+        first = mb.submit(np.zeros((2, 2), np.float32), deadline_s=10.0)
+        time.sleep(0.1)  # worker picked it up
+        # queued behind a 0.4s batch with a 1ms deadline -> expires
+        doomed = mb.submit(np.ones((2, 2), np.float32), deadline_s=0.001)
+        with pytest.raises(DeadlineExceeded):
+            doomed.result(timeout=30)
+        kind, out = first.result(timeout=30)
+        assert kind == "proba"
+        assert mb.expired == 1
+    finally:
+        mb.stop()
+
+
+def test_run_exclusive_deadline_and_admission():
+    """Direct jobs (pre-batched npy path) respect both the admission bound
+    and the deadline while waiting on the device lock."""
+    from eelunet_tpu.serving import DeadlineExceeded, Overloaded
+
+    mb = _slow_batcher(delay_s=0.0, max_batch=1, window_ms=1.0, max_pending=2)
+    try:
+        hold = threading.Event()
+        started = threading.Event()
+
+        def blocker():
+            def thunk():
+                started.set()
+                hold.wait(timeout=10)
+                return 0
+
+            mb.run_exclusive(thunk, items=1)
+
+        t = threading.Thread(target=blocker)
+        t.start()
+        assert started.wait(timeout=5)
+
+        # a direct job queued behind the blocker with a tiny deadline fails
+        errs = []
+
+        def waiter():
+            try:
+                mb.run_exclusive(lambda: 1, items=1, deadline_s=0.05)
+            except DeadlineExceeded as e:
+                errs.append(e)
+
+        t2 = threading.Thread(target=waiter)
+        t2.start()
+        time.sleep(0.2)
+        # blocker holds the device (not counted), waiter waits (1 pending);
+        # 4 more direct items > max_pending=2 -> shed at admission
+        with pytest.raises(Overloaded):
+            mb.run_exclusive(lambda: 2, items=4)
+        hold.set()
+        t.join(timeout=10)
+        t2.join(timeout=10)
+        assert len(errs) == 1 and mb.expired >= 1 and mb.shed >= 4
+    finally:
+        mb.stop()
+
+
+def test_http_503_retry_after_and_504_deadline():
+    """HTTP layer: saturation -> 503 + Retry-After; a queued request whose
+    deadline_ms passes -> 504. Stats expose the backpressure counters."""
+    service = SegmentationService(
+        _SlowPredictor(delay_s=0.4), (8, 8), max_batch=1, window_ms=1.0,
+        max_pending=2,
+    )
+    server = make_server(service, "slow", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.server_address[0]}:{server.server_address[1]}"
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+
+        def call(out, dl=None):
+            url = base + "/v1/predict"
+            if dl is not None:
+                url += f"?deadline_ms={dl}"
+            req = urllib.request.Request(
+                url, data=_npy(img),
+                headers={"Content-Type": "application/octet-stream"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    out.append((r.status, dict(r.headers)))
+            except urllib.error.HTTPError as e:
+                out.append((e.code, dict(e.headers)))
+
+        flood: list = []
+        threads = [threading.Thread(target=call, args=(flood,))
+                   for _ in range(10)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        codes = [c for c, _ in flood]
+        assert 503 in codes, codes
+        assert 200 in codes, codes
+        assert all(h.get("Retry-After") for c, h in flood if c == 503)
+
+        # deadline: one slow batch in flight, then a 1ms-deadline request
+        inflight: list = []
+        doomed: list = []
+        t1 = threading.Thread(target=call, args=(inflight,))
+        t1.start()
+        time.sleep(0.1)
+        call(doomed, dl=1)
+        t1.join(timeout=30)
+        assert doomed[0][0] == 504, doomed
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+            s = json.loads(r.read())
+        assert s["max_pending"] == 2
+        assert s["shed"] >= 1 and s["expired"] >= 1
+        assert "queue_depth" in s
+    finally:
+        server.shutdown()
+        service.close()
+
+
+def test_overload_bounded_latency_and_queue():
+    """Sustained 2x overload: accepted-request p99 stays bounded by the
+    admission bound (max_pending * service_time + slack), the queue never
+    grows past max_pending, and throughput holds at device capacity. This
+    is the load test for the bounded-queue design — without max_pending the
+    backlog and tail latency grow linearly with offered load."""
+    delay, max_pending = 0.05, 4
+    mb = _slow_batcher(delay_s=delay, max_batch=1, window_ms=0.5,
+                       max_pending=max_pending)
+    from eelunet_tpu.serving import Overloaded
+
+    try:
+        futs, lat, shed, depth_max = [], [], 0, 0
+        t_end = time.monotonic() + 3.0
+        # offered load ~2x capacity: capacity = 1/delay = 20 rps, we offer
+        # one submit every delay/2 without waiting on results
+        while time.monotonic() < t_end:
+            t0 = time.monotonic()
+            try:
+                f = mb.submit(np.zeros((2, 2), np.float32))
+            except Overloaded:
+                shed += 1
+            else:
+                f.add_done_callback(
+                    lambda _f, _t0=t0: lat.append(time.monotonic() - _t0))
+                futs.append(f)
+            depth_max = max(depth_max, mb._q.qsize())
+            time.sleep(delay / 2)
+        for f in futs:
+            f.result(timeout=30)
+        assert shed > 0                      # genuinely overloaded
+        assert depth_max <= max_pending      # bounded backlog == bounded RSS
+        # accepted-request p99 is bounded by (backlog drain + own service
+        # time); without max_pending it would grow with the 2x excess
+        p99 = sorted(lat)[max(0, int(len(lat) * 0.99) - 1)]
+        assert p99 < (max_pending + 2) * delay + 0.5
+    finally:
+        mb.stop()
+
+
 def test_service_two_phase_matches_sync_values(served):
     """The served fixture's Predictor supports dispatch/collect, so the
     batcher runs double-buffered — responses must equal the direct

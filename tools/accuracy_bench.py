@@ -58,14 +58,21 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         tr = DeviceCachedLoader(tr_c, batch_size, shuffle=True, seed=seed)
         va = DeviceCachedLoader(te_c, batch_size)
         te = DeviceCachedLoader(te_c, batch_size)
+        tr_eval = DeviceCachedLoader(tr_c, batch_size)
     else:
         tr = DataLoader(tr_ds, batch_size, shuffle=True, seed=seed, num_workers=2)
         va = DataLoader(te_ds, batch_size, num_workers=2)
         te = DataLoader(te_ds, batch_size, num_workers=2)
+        tr_eval = DataLoader(tr_ds, batch_size, num_workers=2)
     trainer = Trainer(cfg)
     state, history = trainer.fit(tr, va, te, log=lambda *a: None)
     final = [m for m in history["metrics"] if m][-1]
     final["train_loss"] = history["train_loss"][-1]
+    # train-set eval, mirroring tools/reference_accuracy_bench.py: separates
+    # "failed to learn" from "learned but doesn't generalize"
+    tr_m = trainer.evaluate(state, tr_eval)
+    final["train_miou"] = tr_m["miou"]
+    final["train_dice"] = tr_m["dice"]
     if getattr(state, "ema_params", None) is not None:
         # EMA weights evaluated with the same eval step (incl. tta if set)
         ema_m = trainer.evaluate(state.replace(params=state.ema_params), te)

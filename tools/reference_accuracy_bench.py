@@ -81,7 +81,8 @@ def make_loaders(seed: int, image_size: int, n_train: int, n_test: int,
 
 
 def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
-             batch_size: int, epochs: int, lr: float, log) -> dict:
+             batch_size: int, epochs: int, lr: float, log,
+             save_ckpt: str | None = None) -> dict:
     import torch
 
     from reference_loader import load_reference_module
@@ -128,6 +129,16 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
     tvals = eval_mod.evaluate(model, train_loader, torch.device("cpu"))
     out["train_miou"] = float(tvals[6])
     out["train_dice"] = float(tvals[5])
+    if save_ckpt:
+        # weights-only state_dict, the reference's own checkpoint format
+        # (train.py:157-180) — consumable by cli.import_torch for the
+        # trained-weights importer round trip
+        import os
+
+        os.makedirs(save_ckpt, exist_ok=True)
+        path = os.path.join(save_ckpt, f"eelunet_ref_seed{seed}.pth")
+        torch.save(model.state_dict(), path)
+        log(f"  seed {seed}: saved reference checkpoint -> {path}")
     return out
 
 
@@ -142,6 +153,9 @@ def main(argv=None):
     # reference train.py:229 default; 1e-3 diverges the torch-init EELUnet
     # on this task (measured: eval collapses to all-bg/all-fg)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--save_ckpt", default=None, metavar="DIR",
+                   help="save each seed's trained state_dict (torch format) "
+                   "into DIR for the cli.import_torch round trip")
     args = p.parse_args(argv)
 
     log = lambda m: print(m, file=sys.stderr, flush=True)
@@ -149,7 +163,8 @@ def main(argv=None):
     for seed in args.seeds:
         t0 = time.time()
         rows[seed] = run_seed(seed, args.image_size, args.n_train, args.n_test,
-                              args.batch_size, args.epochs, args.lr, log)
+                              args.batch_size, args.epochs, args.lr, log,
+                              save_ckpt=args.save_ckpt)
         log(f"seed {seed} done in {time.time() - t0:.0f}s: "
             f"miou {rows[seed]['miou']:.4f} "
             f"bf1 {rows[seed]['boundary_f1']:.4f}")
