@@ -24,6 +24,8 @@ def pytest_configure(config):
     output capture is stopped first so the exec'd process inherits the real
     stdout/stderr fds instead of pytest's capture tempfiles.
     """
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process spawns, e2e runs)")
     if os.environ.get("EELUNET_TPU_TEST_ENV") == "1":
         return
     capman = config.pluginmanager.getplugin("capturemanager")
