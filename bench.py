@@ -87,15 +87,23 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
     return batch * iters / dt, mem
 
 
-def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dtype: str = "bfloat16") -> float:
-    """Training-step throughput (fwd+bwd+Adam+BN). Steps chain through the
-    donated TrainState, so one final loss readback syncs the whole run."""
+def _measure_train(model_name: str, image: int, batch: int, iters: int = 10,
+                   dtype: str = "bfloat16") -> dict:
+    """Training-step throughput (fwd+bwd+Adam+BN) with MFU + peak-HBM.
+
+    Steps chain through the donated TrainState, so one final loss readback
+    syncs the whole run. Train FLOPs come from the step's OWN jaxpr
+    (count_matmul_flops over fwd+bwd+update contractions — exact, not the
+    3x-forward heuristic); peak HBM from the compiled executable's static
+    memory analysis."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from eelunet_tpu.config import TrainConfig, apply_overrides
     from eelunet_tpu.parallel.mesh import create_mesh
     from eelunet_tpu.train.trainer import Trainer
+    from eelunet_tpu.utils.flops import count_matmul_flops, mfu_pct
 
     cfg = apply_overrides(
         TrainConfig(),
@@ -113,14 +121,35 @@ def _measure_train(model_name: str, image: int, batch: int, iters: int = 10, dty
     rng = np.random.default_rng(0)
     xb = jnp.asarray(rng.standard_normal((batch, image, image, 3)), jnp.float32)
     yb = jnp.asarray((rng.uniform(size=(batch, image, image, 1)) > 0.5), jnp.float32)
-    state, loss = step(state, xb, yb)
-    float(loss)  # compile + sync
+    out = {}
+    try:
+        flops_per_step = count_matmul_flops(step, state, xb, yb)
+        out["flops_per_step"] = flops_per_step
+    except Exception as e:
+        print(f"train flops counting failed: {e}", file=sys.stderr)
+        flops_per_step = None
+    compiled = step.lower(state, xb, yb).compile()
+    try:
+        ma = compiled.memory_analysis()
+        out["peak_hbm_estimate_bytes"] = int(
+            ma.argument_size_in_bytes + ma.temp_size_in_bytes + ma.output_size_in_bytes
+        )
+    except Exception:
+        pass
+    state, loss = compiled(state, xb, yb)[:2]
+    float(loss)  # sync after compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss = step(state, xb, yb)
+        state, loss = compiled(state, xb, yb)[:2]
     float(loss)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    out["images_per_sec"] = round(batch * iters / dt, 2)
+    out["ms_per_step"] = round(dt / iters * 1e3, 2)
+    if flops_per_step is not None:
+        m = mfu_pct(out["images_per_sec"] / batch, flops_per_step,
+                    jax.devices()[0].device_kind)
+        out["mfu_pct"] = round(m, 2) if m is not None else None
+    return out
 
 
 def _measure_slim_eelunet(image: int, batch: int, amount: float = 0.5, iters: int = 20) -> float:
@@ -271,6 +300,16 @@ def main():
         cpu_ips = None
     detail["cpu_eelunet_512_f32"] = cpu_ips
 
+    # Training throughput is part of the benchmark contract (not just prose):
+    # fwd+bwd+Adam+BN at 512^2 batch 8, same dtype as the headline.
+    train_block = None
+    try:
+        train_block = _measure_train("eelunet", IMAGE, DETAIL_BATCH)
+        detail[f"eelunet_{IMAGE}_bf16_train"] = train_block
+    except Exception as e:
+        print(f"train bench failed: {e}", file=sys.stderr)
+        detail[f"eelunet_{IMAGE}_bf16_train"] = f"error: {e}"
+
     # Secondary sweep (BENCH_FULL=1): lightweight families + training step.
     # Off by default — every extra model costs minutes of remote compile and
     # the driver only records the primary JSON line.
@@ -293,25 +332,32 @@ def main():
         import jax
 
         stats = jax.devices()[0].memory_stats() or {}
-        detail["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+        # only report when the backend actually provides it (the axon tunnel
+        # returns none; the static peak_hbm_estimate_bytes fields cover HBM)
+        if stats.get("peak_bytes_in_use") is not None:
+            detail["peak_bytes_in_use"] = stats["peak_bytes_in_use"]
     except Exception:
         pass
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
+        f.write("\n")
     print(json.dumps(detail, indent=2), file=sys.stderr)
 
     vs = (tpu_ips / cpu_ips) if cpu_ips else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "eelunet_512x512_inference",
-                "value": round(tpu_ips, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "eelunet_512x512_inference",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }
+    if isinstance(train_block, dict):
+        # train-step numbers ride the same driver-captured line so
+        # regressions are caught mechanically (BENCH_r{N}.json)
+        line["train_images_per_sec"] = train_block.get("images_per_sec")
+        line["train_ms_per_step"] = train_block.get("ms_per_step")
+        line["train_mfu_pct"] = train_block.get("mfu_pct")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
