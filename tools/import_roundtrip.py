@@ -1,0 +1,132 @@
+"""Trained-weights importer round trip: torch reference ckpt -> cli.import_torch
+-> cli.evaluate on TPU vs the reference's own evaluate() on the same pixels.
+
+Extends tests/test_torch_parity.py::test_reference_evaluate_metric_parity
+(shared RANDOM-ish weights, scrubbed CPU) to GENUINELY TRAINED weights on the
+real device: the .pth comes from tools/reference_accuracy_bench.py --save_ckpt
+(the torch reference trained with its own protocol — train.py:305,312,315 —
+on the hard synthetic task), so borderline pixels are real, not synthetic.
+
+Data: the same draws the head-to-head harness evaluates on
+(SyntheticDataset(seed=data_seed+100000, difficulty="hard")), materialized as
+a PNG tree (n_train=0 keeps the RNG stream identical) — BOTH frameworks read
+the same uint8 pixels, so any metric gap is compute-path, not data.
+
+    python tools/import_roundtrip.py \
+        --checkpoint checkpoints/ref_torch/eelunet_ref_seed7686.pth
+
+Prints a 9-metric torch-vs-TPU table with relative deltas plus one JSON line;
+exit code 1 if dice/iou/miou/mdice disagree by >0.5% (the north-star clause;
+boundary_f1 is reported but not gated — cv2-vs-device erosion tie-breaking
+on single-pixel boundaries is measured separately, tests/test_metrics.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+
+KEYS = ("pixel_accuracy", "precision", "recall", "f1_score", "iou",
+        "dice", "miou", "boundary_f1", "mdice")
+GATED = ("iou", "dice", "miou", "mdice")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True, help="trained reference .pth")
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--n_test", type=int, default=32)
+    p.add_argument("--data_seed", type=int, default=7686,
+                   help="harness seed; test data uses data_seed+100000")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--dtype", default="float32",
+                   help="eelunet_tpu eval dtype (float32 for the parity gate; "
+                   "bfloat16 measures the product config's drift)")
+    p.add_argument("--workdir", default="", help="keep artifacts here")
+    args = p.parse_args(argv)
+
+    import torch
+
+    from reference_loader import load_reference_module
+
+    from eelunet_tpu.cli import evaluate as cli_evaluate
+    from eelunet_tpu.cli import import_torch as cli_import
+    from eelunet_tpu.cli.common import make_folder_dataset
+    from eelunet_tpu.config import DataConfig
+    from eelunet_tpu.data.pipeline import DataLoader as JaxLoader
+    from eelunet_tpu.data.synthetic import write_synthetic_tree
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="roundtrip_")
+    tree = os.path.join(wd, "data")
+    write_synthetic_tree(
+        tree, n_train=0, n_test=args.n_test,
+        image_size=(args.image_size, args.image_size),
+        seed=args.data_seed + 100000, difficulty="hard",
+    )
+
+    out_dir = os.path.join(wd, "imported")
+    cli_import.main([
+        "--model_type", "eelunet", "--checkpoint", args.checkpoint,
+        "--output", out_dir, "--image_size", str(args.image_size),
+        "--save_dir", os.path.join(wd, "ckpts"),
+        "--set", f"model.dtype={args.dtype}",
+    ])
+    ours = cli_evaluate.main([
+        "--model_type", "eelunet", "--data_dir", tree,
+        "--image_size", str(args.image_size),
+        "--batch_size", str(args.batch_size),
+        "--checkpoint", out_dir, "--save_dir", os.path.join(wd, "ckpts"),
+        "--set", f"model.dtype={args.dtype}",
+    ])
+
+    # Reference side: the SAME float pixels the CLI's device chain consumed
+    # (uint8_feed=False reproduces the uint8 path <=1e-6, test_uint8_feed.py).
+    ref_eval = load_reference_module("evaluate")
+    ref_mod = load_reference_module("models.EELUnet")
+    tm = ref_mod.EELUnet(in_channels=3, out_channels=1)
+    tm.load_state_dict(torch.load(args.checkpoint, map_location="cpu"))
+    tm.eval()
+    d = DataConfig(data_dir=tree, image_size=(args.image_size, args.image_size),
+                   uint8_feed=False)
+    loader = JaxLoader(make_folder_dataset(d, "test"), args.batch_size,
+                       drop_remainder=False)
+    tb = [
+        (torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+         torch.from_numpy(np.ascontiguousarray(y.transpose(0, 3, 1, 2))))
+        for x, y in loader
+    ]
+    with torch.no_grad():
+        ref = ref_eval.evaluate(tm, tb, torch.device("cpu"))
+    ref = dict(zip(KEYS, (float(v) for v in ref)))
+
+    print(f"\n| metric | torch (CPU f32) | eelunet_tpu ({args.dtype}) | rel delta |")
+    print("|---|---|---|---|")
+    fails = []
+    for k in KEYS:
+        t, o = ref[k], float(ours[k])
+        rel = abs(o - t) / max(abs(t), 1e-7)
+        print(f"| {k} | {t:.4f} | {o:.4f} | {rel * 100:.3f}% |")
+        if k in GATED and rel > 0.005:
+            fails.append((k, t, o, rel))
+    verdict = "PASS" if not fails else f"FAIL {fails}"
+    print(f"\nnorth-star gate (dice/iou/miou/mdice <= 0.5%): {verdict}")
+    print(json.dumps({
+        "harness": "import_roundtrip", "checkpoint": args.checkpoint,
+        "image_size": args.image_size, "n_test": args.n_test,
+        "dtype": args.dtype, "torch": ref,
+        "tpu": {k: float(ours[k]) for k in KEYS},
+        "gate": verdict.split()[0],
+    }))
+    return 0 if not fails else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
