@@ -15,7 +15,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config", type=str, default="", help="JSON config file")
     p.add_argument("--model_type", type=str, default=None,
-                   choices=["unet", "eelunet", "unet++", "egeunet", "unext", "unext_s", "malunet"])
+                   choices=["unet", "eelunet", "unet++", "unetpp", "egeunet",
+                            "unext", "unext_s", "malunet"])
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)

@@ -86,6 +86,13 @@ class ModelConfig:
     # Compute dtype for the forward pass ("float32" or "bfloat16"); params stay f32.
     dtype: str = "float32"
 
+    def __post_init__(self):
+        # Shell-friendly aliases for the registry's canonical "unet++"
+        # (a bare `unetpp` otherwise fails only at Trainer construction —
+        # which silently dropped the family from a sweep once).
+        self.name = {"unetpp": "unet++", "unetplusplus": "unet++"}.get(
+            self.name, self.name)
+
 
 @dataclass
 class LossConfig:

@@ -65,3 +65,9 @@ def test_reference_defaults():
     assert cfg.data.normalize_mean == (0.485, 0.456, 0.406)  # ToothDataset.py:60
     assert cfg.model.name == "eelunet"
     assert cfg.data.val_fraction == 0.1        # train.py:256-259
+
+
+def test_model_name_alias_normalized():
+    """Shell-friendly 'unetpp' resolves to the registry's 'unet++'."""
+    assert apply_overrides(TrainConfig(), ["model.name=unetpp"]).model.name == "unet++"
+    assert apply_overrides(TrainConfig(), ["model.name=unetplusplus"]).model.name == "unet++"
