@@ -20,7 +20,13 @@ Design (pallas_guide.md patterns; house style of ops/edge_pallas.py):
   win would also eliminate the elementwise HBM round trip.
 
 A/B harness: tools/conv3x3_ab.py (interleaved vs lax.conv_general_dilated).
-Verdict recorded in docs/PERF.md either way.
+
+VERDICT (measured on v5e, docs/PERF.md dead-ends + results/conv3x3_ab_512_r3
+.json): XLA wins ~2x on both target shapes (128->64: 6.21 vs 12.01 ms;
+64->64: 5.35 vs 12.16 ms; tile_h=32 exceeds the 16M scoped-VMEM limit).
+The per-tap shifted-slab materialization dominates; XLA's emitter pipelines
+DMA against compute. This module stays as a tested reference pattern and is
+NOT wired into any model.
 """
 
 from __future__ import annotations
@@ -38,6 +44,8 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, shift_ref, out_ref, slab, sem, *,
     b = pl.program_id(0)
     t = pl.program_id(1)
 
+    # The slab spans the full (8-aligned-padded) W so the HBM slice is
+    # static-shape and sublane-aligned; taps only read the first w+2 cols.
     copy = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(t * tile_h, tile_h + 2), :, :],
         slab,
@@ -80,9 +88,20 @@ def conv3x3_pallas(x, w, scale=None, shift=None, *, relu=False, tile_h=16,
     if shift is None:
         shift = jnp.zeros((cout,), jnp.float32)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic requires HBM slice shapes 8-aligned along the sublane (W) dim;
+    # pad W+2 up to a multiple of 8 (the extra right-margin cols are dead).
+    wpad = -(-(wdt + 2) // 8) * 8
+    # ...and lane-tile-aligned (128) along the minor (channel) dim: a manual
+    # DMA slice of a Cin=64 HBM memref is rejected ("Slice shape along
+    # dimension 3 must be aligned to tiling (128)", measured on v5e). Zero-
+    # padding Cin keeps the tap matmuls exact (zero weight rows) but DOUBLES
+    # the slab HBM traffic at Cin=64 — recorded as part of the dead-end
+    # analysis in docs/PERF.md.
+    cpad = -(-cin // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - wdt - 1), (0, cpad - cin)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
     kern = functools.partial(
-        _conv_kernel, tile_h=tile_h, w=wdt, cin=cin, cout=cout, relu=relu,
+        _conv_kernel, tile_h=tile_h, w=wdt, cin=cpad, cout=cout, relu=relu,
         out_dtype=x.dtype,
     )
     return pl.pallas_call(
@@ -90,7 +109,7 @@ def conv3x3_pallas(x, w, scale=None, shift=None, *, relu=False, tile_h=16,
         grid=(bsz, h // tile_h),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded input, sliced by DMA
-            pl.BlockSpec((3, 3, cin, cout), lambda b, t: (0, 0, 0, 0),
+            pl.BlockSpec((3, 3, cpad, cout), lambda b, t: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -102,14 +121,14 @@ def conv3x3_pallas(x, w, scale=None, shift=None, *, relu=False, tile_h=16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wdt + 2, cin), x.dtype),
+            pltpu.VMEM((tile_h + 2, wpad, cpad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, w, scale.astype(jnp.float32).reshape(1, cout),
+    )(xp, wp, scale.astype(jnp.float32).reshape(1, cout),
       shift.astype(jnp.float32).reshape(1, cout))
 
 

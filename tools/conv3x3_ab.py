@@ -60,7 +60,14 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--tile_h", type=int, default=16)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--shapes", default="",
+                   help="comma list of cin:cout pairs, e.g. '128:64,64:64' "
+                        "(default: the built-in eelunet population)")
     args = p.parse_args(argv)
+    shapes = SHAPES
+    if args.shapes:
+        shapes = [tuple(int(v) for v in s.split(":"))
+                  for s in args.shapes.split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -77,19 +84,24 @@ def main(argv=None):
     dt = jnp.dtype(args.dtype)
     key = jax.random.PRNGKey(0)
     rows = []
-    for cin, cout in SHAPES:
+    for cin, cout in shapes:
         kx, kw, ks, kb, key = jax.random.split(key, 5)
         x = jax.random.normal(kx, (args.batch, args.image, args.image, cin), jnp.float32).astype(dt)
         w = (jax.random.normal(kw, (3, 3, cin, cout), jnp.float32) * 0.1).astype(dt)
         s = jax.random.normal(ks, (cout,), jnp.float32)
         b = jax.random.normal(kb, (cout,), jnp.float32)
 
+        # NB: keep the anti-hoist perturbation in x.dtype — `x + i*1e-9`
+        # promotes bf16 inputs to f32, which 4x-es the pallas slab and blows
+        # the 16M scoped-vmem limit at 512^2 (observed on TPU).
         def xla_fn(x, w, s, b, i):
-            return conv3x3_reference(x + i * 1e-9, w, s, b, relu=True)
+            return conv3x3_reference(x + (i * 1e-9).astype(x.dtype), w, s, b,
+                                     relu=True)
 
         def pallas_fn(x, w, s, b, i):
-            return conv3x3_pallas(x + i * 1e-9, w, s, b, relu=True,
-                                  tile_h=args.tile_h, interpret=interp)
+            return conv3x3_pallas(x + (i * 1e-9).astype(x.dtype), w, s, b,
+                                  relu=True, tile_h=args.tile_h,
+                                  interpret=interp)
 
         # correctness first (single application, readback)
         got = conv3x3_pallas(x, w, s, b, relu=True, tile_h=args.tile_h,
