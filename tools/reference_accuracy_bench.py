@@ -1,4 +1,4 @@
-"""Train the REFERENCE PyTorch EELUnet on the hard synthetic task.
+"""Train the REFERENCE PyTorch models on the hard synthetic task.
 
 Head-to-head accuracy evidence for the north star ("Dice/IoU within 0.5% of
 the PyTorch reference"): this harness trains the reference implementation
@@ -80,9 +80,47 @@ def make_loaders(seed: int, image_size: int, n_train: int, n_test: int,
     )
 
 
+# Construction per train.py:268-288. Criterion: the reference ships
+# edge_BceDiceLoss for every --model_type (train.py:305), but its forward is
+# (gt_pre, out, target) while calculate_loss (train.py:62-84) calls plain
+# criterion(outputs, labels) for unet/unet++/unext/unext_s/malunet — the
+# shipped default TypeErrors for those models; the operable choice is the
+# commented-out BceDiceLoss (train.py:302), and GT_BceDiceLoss (train.py:304)
+# for egeunet's (gt_pre, out) head. These pairings mirror eelunet_tpu's
+# loss "auto" defaults (config.py), so the head-to-head protocols match.
+#
+# 4th field: unet/unext/unext_s return raw LOGITS (Unet.py:97-98,
+# unext.py:325) while the reference losses consume probabilities
+# (nn.BCELoss, Loss.py:45-58) — feeding logits crashes ("all elements of
+# input should be between 0 and 1"), and evaluate.py:92 would threshold
+# logits at 0.5 (= prob 0.622). The only operable protocol bridges with a
+# sigmoid for both loss and eval — exactly eelunet_tpu's seg_probabilities
+# convention (registry.py), and the divergence README.md already catalogs.
+MODEL_ZOO = {
+    "eelunet": ("models.EELUnet",
+                lambda m: m.EELUnet(3, 1), "edge", False),
+    "unet": ("models.Unet",
+             lambda m: m.Unet(in_channels=3, out_channels=1), "plain", True),
+    "egeunet": ("models.egeunet",
+                lambda m: m.EGEUNet(num_classes=1, input_channels=3,
+                                    c_list=[8, 16, 24, 32, 48, 64],
+                                    bridge=True, gt_ds=True), "gt", False),
+    "unext": ("models.unext",
+              lambda m: m.UNext(num_classes=1, in_channels=3), "plain", True),
+    "unext_s": ("models.unext",
+                lambda m: m.UNext_S(num_classes=1, in_channels=3),
+                "plain", True),
+    "malunet": ("models.malunet",
+                lambda m: m.MALUNet(num_classes=1, input_channels=3),
+                "plain", False),
+    # unet++ is absent: the upstream forward crashes on a channel mismatch
+    # (UnetPlusPlus.py:50-76, SURVEY §2.2) so the reference cannot train it.
+}
+
+
 def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
              batch_size: int, epochs: int, lr: float, log,
-             save_ckpt: str | None = None) -> dict:
+             save_ckpt: str | None = None, model_type: str = "eelunet") -> dict:
     import torch
 
     from reference_loader import load_reference_module
@@ -93,12 +131,18 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
     np.random.seed(seed)
     torch.manual_seed(seed)
 
-    eel = load_reference_module("models.EELUnet")
+    module_name, build, dispatch, logits_head = MODEL_ZOO[model_type]
+    mod = load_reference_module(module_name)
     loss_mod = load_reference_module("utils.Loss")
     eval_mod = load_reference_module("evaluate")
 
-    model = eel.EELUnet(3, 1)
-    criterion = loss_mod.edge_BceDiceLoss(wb=1, wd=1)
+    model = build(mod)
+    if dispatch == "edge":
+        criterion = loss_mod.edge_BceDiceLoss(wb=1, wd=1)
+    elif dispatch == "gt":
+        criterion = loss_mod.GT_BceDiceLoss(wb=1, wd=1)
+    else:
+        criterion = loss_mod.BceDiceLoss(wb=1, wd=1)
     optimizer = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
     scheduler = torch.optim.lr_scheduler.StepLR(optimizer, step_size=30, gamma=0.5)
 
@@ -111,9 +155,17 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
         running = 0.0
         for inputs, labels in train_loader:
             optimizer.zero_grad()
-            # eelunet loss dispatch: train.py:62-66
-            seg_out, edge_outs = model(inputs)
-            loss = criterion(edge_outs, seg_out, labels)
+            # per-model loss dispatch: calculate_loss, train.py:62-84
+            if dispatch == "edge":
+                seg_out, edge_outs = model(inputs)
+                loss = criterion(edge_outs, seg_out, labels)
+            elif dispatch == "gt":
+                gt_pre, out = model(inputs)
+                loss = criterion(gt_pre, out, labels)
+            else:
+                out = model(inputs)
+                loss = criterion(torch.sigmoid(out) if logits_head else out,
+                                 labels)
             loss.backward()
             optimizer.step()
             running += loss.item()
@@ -122,11 +174,28 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
             f"train_loss {running / len(train_loader):.4f} "
             f"({time.time() - t0:.1f}s)")
 
-    vals = eval_mod.evaluate(model, test_loader, torch.device("cpu"))
+    eval_model = model
+    if logits_head:
+        # evaluate.py:92 thresholds the raw output at 0.5; for a logits head
+        # that is prob 0.622, so bridge with the same sigmoid used in the
+        # loss to keep the 0.5-probability operating point of every other
+        # model (and of eelunet_tpu's evaluate).
+        class _SigmoidHead(torch.nn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.inner = inner
+                self.name = inner.name
+
+            def forward(self, x):
+                return torch.sigmoid(self.inner(x))
+
+        eval_model = _SigmoidHead(model)
+
+    vals = eval_mod.evaluate(eval_model, test_loader, torch.device("cpu"))
     out = dict(zip(METRIC_NAMES, (float(v) for v in vals)))
     # train-set eval (same eval-mode metrics): separates "failed to learn"
     # from "learned but doesn't generalize / eval-mode BN collapse"
-    tvals = eval_mod.evaluate(model, train_loader, torch.device("cpu"))
+    tvals = eval_mod.evaluate(eval_model, train_loader, torch.device("cpu"))
     out["train_miou"] = float(tvals[6])
     out["train_dice"] = float(tvals[5])
     if save_ckpt:
@@ -136,7 +205,7 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
         import os
 
         os.makedirs(save_ckpt, exist_ok=True)
-        path = os.path.join(save_ckpt, f"eelunet_ref_seed{seed}.pth")
+        path = os.path.join(save_ckpt, f"{model_type}_ref_seed{seed}.pth")
         torch.save(model.state_dict(), path)
         log(f"  seed {seed}: saved reference checkpoint -> {path}")
     return out
@@ -144,6 +213,7 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--model_type", default="eelunet", choices=sorted(MODEL_ZOO))
     p.add_argument("--seeds", type=int, nargs="+", default=[7686, 6716, 6345])
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--image_size", type=int, default=64)
@@ -164,7 +234,8 @@ def main(argv=None):
         t0 = time.time()
         rows[seed] = run_seed(seed, args.image_size, args.n_train, args.n_test,
                               args.batch_size, args.epochs, args.lr, log,
-                              save_ckpt=args.save_ckpt)
+                              save_ckpt=args.save_ckpt,
+                              model_type=args.model_type)
         log(f"seed {seed} done in {time.time() - t0:.0f}s: "
             f"miou {rows[seed]['miou']:.4f} "
             f"bf1 {rows[seed]['boundary_f1']:.4f}")
@@ -177,7 +248,7 @@ def main(argv=None):
             f"{m['boundary_f1']:.4f} | {m['dice']:.4f} | {m['iou']:.4f} |")
     print(json.dumps({
         "harness": "reference_torch_cpu",
-        "model": "eelunet", "image_size": args.image_size,
+        "model": args.model_type, "image_size": args.image_size,
         "epochs": args.epochs, "n_train": args.n_train, "n_test": args.n_test,
         "batch_size": args.batch_size, "lr": args.lr,
         "per_seed": {str(s): m for s, m in rows.items()},
