@@ -25,7 +25,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def run_seed(model: str, seed: int, image_size: int, epochs: int,
              n_train: int, n_test: int, batch_size: int, dtype: str, lr: float,
-             device_cache: bool = True, extra_set=()):
+             device_cache: bool = True, extra_set=(), num_classes: int = 1):
     from eelunet_tpu.config import TrainConfig, apply_overrides
     from eelunet_tpu.data.pipeline import DataLoader
     from eelunet_tpu.data.synthetic import SyntheticDataset
@@ -34,6 +34,7 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
     cfg = apply_overrides(TrainConfig(), [
         f"model.name={model}",
         f"model.dtype={dtype}",
+        f"model.out_channels={num_classes if num_classes > 1 else 1}",
         f"data.image_size=[{image_size},{image_size}]",
         f"data.batch_size={batch_size}",
         f"seed={seed}",
@@ -46,9 +47,11 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         *extra_set,
     ])
     tr_ds = SyntheticDataset(n=n_train, image_size=(image_size, image_size),
-                             seed=seed, difficulty="hard")
+                             seed=seed, difficulty="hard",
+                             num_classes=num_classes)
     te_ds = SyntheticDataset(n=n_test, image_size=(image_size, image_size),
-                             seed=seed + 100000, difficulty="hard")
+                             seed=seed + 100000, difficulty="hard",
+                             num_classes=num_classes)
     if device_cache:
         # batches are bit-identical to the streamed loader (same shuffle
         # keying, tests/test_device_cache.py); epochs run compute-bound
@@ -91,6 +94,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--num_classes", type=int, default=1,
+                   help=">1 flips every surface to multi-class mode "
+                   "(softmax head, id masks, ce/mc-dice loss, confusion "
+                   "metrics) and swaps in the multi-class synthetic task")
     p.add_argument("--no_device_cache", action="store_true",
                    help="stream batches from host instead of HBM residency")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
@@ -105,7 +112,7 @@ def main(argv=None):
         m = run_seed(args.model_type, seed, args.image_size, args.epochs,
                      args.n_train, args.n_test, args.batch_size, args.dtype,
                      args.lr, device_cache=not args.no_device_cache,
-                     extra_set=args.extra_set)
+                     extra_set=args.extra_set, num_classes=args.num_classes)
         rows.append((seed, m))
         extra = (f" | ema: miou={m['ema_miou']:.4f} bf1={m['ema_boundary_f1']:.4f}"
                  if "ema_miou" in m else "")
@@ -120,6 +127,12 @@ def main(argv=None):
         "model": args.model_type,
         "image_size": args.image_size,
         "epochs": args.epochs,
+        "n_train": args.n_train,
+        "n_test": args.n_test,
+        "batch_size": args.batch_size,
+        "lr": args.lr,
+        "dtype": args.dtype,
+        "num_classes": args.num_classes,
         "overrides": list(args.extra_set),
         "seeds": {str(s): {k: round(float(v), 4) for k, v in m.items()} for s, m in rows},
     }
