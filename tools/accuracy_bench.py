@@ -26,11 +26,18 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def run_seed(model: str, seed: int, image_size: int, epochs: int,
              n_train: int, n_test: int, batch_size: int, dtype: str, lr: float,
              device_cache: bool = True, extra_set=(), num_classes: int = 1):
+    import tempfile
+
     from eelunet_tpu.config import TrainConfig, apply_overrides
     from eelunet_tpu.data.pipeline import DataLoader
     from eelunet_tpu.data.synthetic import SyntheticDataset
     from eelunet_tpu.train.trainer import Trainer
 
+    # Unique scratch per process: two concurrent benches sharing a fixed
+    # save_dir race orbax's constant-named .orbax-checkpoint-tmp staging dir
+    # (observed as a tensorstore OCDBT NOT_FOUND mid-commit when a driver
+    # double-launched this tool).
+    scratch = tempfile.mkdtemp(prefix="acc_bench_")
     cfg = apply_overrides(TrainConfig(), [
         f"model.name={model}",
         f"model.dtype={dtype}",
@@ -42,8 +49,8 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         f"optimizer.lr={lr}",
         f"eval_every={epochs}",  # evaluate once, at the end
         "snapshot_every=1000000",
-        "save_dir=/tmp/acc_bench_ckpt",
-        "log_dir=/tmp/acc_bench_runs",
+        f"save_dir={scratch}/ckpt",
+        f"log_dir={scratch}/runs",
         *extra_set,
     ])
     tr_ds = SyntheticDataset(n=n_train, image_size=(image_size, image_size),
@@ -80,6 +87,9 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         # EMA weights evaluated with the same eval step (incl. tta if set)
         ema_m = trainer.evaluate(state.replace(params=state.ema_params), te)
         final.update({f"ema_{k}": v for k, v in ema_m.items()})
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     return final
 
 
