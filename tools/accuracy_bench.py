@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
+import tempfile
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
@@ -26,18 +28,27 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def run_seed(model: str, seed: int, image_size: int, epochs: int,
              n_train: int, n_test: int, batch_size: int, dtype: str, lr: float,
              device_cache: bool = True, extra_set=(), num_classes: int = 1):
-    import tempfile
-
-    from eelunet_tpu.config import TrainConfig, apply_overrides
-    from eelunet_tpu.data.pipeline import DataLoader
-    from eelunet_tpu.data.synthetic import SyntheticDataset
-    from eelunet_tpu.train.trainer import Trainer
-
     # Unique scratch per process: two concurrent benches sharing a fixed
     # save_dir race orbax's constant-named .orbax-checkpoint-tmp staging dir
     # (observed as a tensorstore OCDBT NOT_FOUND mid-commit when a driver
     # double-launched this tool).
     scratch = tempfile.mkdtemp(prefix="acc_bench_")
+    try:
+        return _run_seed_in(scratch, model, seed, image_size, epochs, n_train,
+                            n_test, batch_size, dtype, lr, device_cache,
+                            extra_set, num_classes)
+    finally:
+        # also on error/interrupt paths: never leak the per-run scratch dir
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run_seed_in(scratch, model, seed, image_size, epochs, n_train, n_test,
+                 batch_size, dtype, lr, device_cache, extra_set, num_classes):
+    from eelunet_tpu.config import TrainConfig, apply_overrides
+    from eelunet_tpu.data.pipeline import DataLoader
+    from eelunet_tpu.data.synthetic import SyntheticDataset
+    from eelunet_tpu.train.trainer import Trainer
+
     cfg = apply_overrides(TrainConfig(), [
         f"model.name={model}",
         f"model.dtype={dtype}",
@@ -87,9 +98,6 @@ def run_seed(model: str, seed: int, image_size: int, epochs: int,
         # EMA weights evaluated with the same eval step (incl. tta if set)
         ema_m = trainer.evaluate(state.replace(params=state.ema_params), te)
         final.update({f"ema_{k}": v for k, v in ema_m.items()})
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
     return final
 
 
