@@ -14,6 +14,52 @@ from __future__ import annotations
 from eelunet_tpu.cli.common import base_parser, load_config
 
 
+def _ckpt_fingerprint(path):
+    """Newest mtime_ns + entry count under the checkpoint dir — changes when
+    a new checkpoint lands at the same path (orbax rewrites the whole dir)."""
+    import os
+
+    newest, count = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            count += 1
+            try:
+                newest = max(newest, os.stat(os.path.join(root, f)).st_mtime_ns)
+            except OSError:
+                pass  # file replaced mid-walk; next poll sees the final state
+    return (newest, count)
+
+
+def start_checkpoint_watcher(service, checkpoint: str, interval_s: float):
+    """Poll ``checkpoint`` and hot-swap weights when it changes (the
+    --reload_watch flag). Skips a poll while the dir is mid-write (orbax
+    commits atomically via a tmp dir, so a fingerprint that is still moving
+    between two consecutive polls means a write is in progress)."""
+    import threading
+    import time
+
+    def loop():
+        last = _ckpt_fingerprint(checkpoint)
+        while True:
+            time.sleep(interval_s)
+            now = _ckpt_fingerprint(checkpoint)
+            if now == last or now[1] == 0:
+                continue
+            settle = _ckpt_fingerprint(checkpoint)
+            if settle != now:
+                continue  # still being written; reload on a later poll
+            try:
+                out = service.reload_checkpoint(checkpoint)
+                print(f"[reload_watch] weights reloaded ({out['reloads']} total)")
+                last = now
+            except Exception as e:  # keep serving old weights; retry later
+                print(f"[reload_watch] reload failed, keeping old weights: {e}")
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    return t
+
+
 def main(argv=None):
     p = base_parser("Serve segmentation over HTTP (micro-batched)")
     p.add_argument("--checkpoint", type=str, default="")
@@ -39,6 +85,10 @@ def main(argv=None):
                    help="default per-request deadline; a request still "
                    "queued past it fails with 504 (0 = none; per-request "
                    "override via ?deadline_ms=)")
+    p.add_argument("--reload_watch", type=float, default=0.0,
+                   help="poll --checkpoint every N seconds and hot-swap the "
+                   "weights when its contents change (zero dropped "
+                   "requests; also available on demand via POST /v1/reload)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -86,6 +136,10 @@ def main(argv=None):
         tile=args.tile, tile_overlap=args.tile_overlap,
         max_pending=args.max_pending, deadline_ms=args.deadline_ms,
     )
+    if args.reload_watch > 0:
+        if args.artifact:
+            p.error("--reload_watch needs a checkpoint-backed Predictor")
+        start_checkpoint_watcher(service, args.checkpoint, args.reload_watch)
     server = make_server(service, name, args.host, args.port)
     h, w = image_size
     print(f"serving {name} at {h}x{w} on "

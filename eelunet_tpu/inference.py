@@ -172,14 +172,22 @@ class Predictor:
         (physically pruned, prune_physical.save_slim) checkpoints are
         auto-detected and swap in the slimmed module; the jitted forward
         retraces on the new param structure."""
+        self.commit(self.stage(checkpoint))
+
+    def stage(self, checkpoint: str):
+        """Phase 1 of a (hot) reload: read, deserialize and device-place a
+        checkpoint WITHOUT touching the live weights — all the slow work
+        (disk IO, orbax restore, mesh replication transfers) happens here,
+        off the serving path. Returns an opaque handle for ``commit``."""
         import os
 
         import orbax.checkpoint as ocp
 
         from eelunet_tpu.prune_physical import is_slim_checkpoint, load_slim
 
+        model = None
         if is_slim_checkpoint(checkpoint):
-            self.model, self.params, self.batch_stats = load_slim(
+            model, params, batch_stats = load_slim(
                 checkpoint,
                 out_channels=getattr(self.model, "out_channels", 1),
                 dtype=self.model.dtype,
@@ -189,10 +197,23 @@ class Predictor:
 
             warn_if_preformat(os.path.abspath(checkpoint), type(self.model).__name__.lower())
             tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
-            self.params = tree["params"]
-            self.batch_stats = tree["batch_stats"]
+            params = tree["params"]
+            batch_stats = tree["batch_stats"]
         if self._batch_sharding is not None:
-            self._replicate_weights()
+            params = jax.device_put(params, self._replicated)
+            batch_stats = jax.device_put(batch_stats, self._replicated)
+        return (model, params, batch_stats)
+
+    def commit(self, staged):
+        """Phase 2: pointer-swap the live weights — O(1), no IO. Callers that
+        serve concurrently must serialize this with dispatches (the serving
+        MicroBatcher's device lock); batches already dispatched keep their
+        references to the old arrays and complete unaffected."""
+        model, params, batch_stats = staged
+        if model is not None:  # slim checkpoint: swap module; jit retraces
+            self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
 
     def _dispatch_program(self, program, images: np.ndarray, *extra):
         """Pad to the batch bucket, place on device(s), dispatch. Returns

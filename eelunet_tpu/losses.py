@@ -16,13 +16,42 @@ import jax.numpy as jnp
 
 from eelunet_tpu.nn.layers import max_pool2d
 
-# torch.nn.BCELoss clamps log terms at -100 AND clamps the gradient
-# denominator at 1e-12; clamping only the log VALUE (as a naive port would)
-# leaves an infinite gradient at p in {0, 1} — sigmoid saturates to exactly
-# those in bf16 (|x|>9) and eventually f32 (|x|>17), which NaN'd training at
-# step 7 on TPU. Clipping p bounds both the value and the gradient.
+# torch.nn.BCELoss semantics, replicated EXACTLY (verified per-step against
+# the reference by tools/trajectory_parity.py — a softer eps-clip fork the
+# trained trajectories whenever outputs saturate):
+#   forward:  -(t*max(log p, -100) + (1-t)*max(log1p(-p), -100))
+#             (aten binary_cross_entropy clamps each log term at -100)
+#   backward: (p - t) / max(p*(1-p), 1e-12)
+#             (aten binary_cross_entropy_backward, EPSILON=1e-12)
+# The custom VJP is what keeps this gradient-safe: plain autodiff of the
+# clamped forward is NaN at p in {0, 1} (0 * inf through the max), and
+# sigmoid saturates to exactly those in bf16 (|x|>9) and f32 (|x|>17) —
+# observed as a step-7 NaN on TPU before the clamp existed. torch's own
+# backward formula is finite everywhere (|grad| <= 1e12), so matching it
+# gives bit-parity AND safety.
 _BCE_LOG_CLAMP = -100.0
-_PROB_EPS = 1e-7
+_BCE_GRAD_EPS = 1e-12
+_PROB_EPS = 1e-7  # multi-class ce_loss only (no torch counterpart upstream)
+
+
+@jax.custom_vjp
+def _bce_elem(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _BCE_LOG_CLAMP)
+    return -(t * log_p + (1.0 - t) * log_1p)
+
+
+def _bce_elem_fwd(p, t):
+    return _bce_elem(p, t), (p, t)
+
+
+def _bce_elem_bwd(res, g):
+    p, t = res
+    grad_p = g * (p - t) / jnp.maximum(p * (1.0 - p), _BCE_GRAD_EPS)
+    return grad_p, jnp.zeros_like(t)
+
+
+_bce_elem.defvjp(_bce_elem_fwd, _bce_elem_bwd)
 
 
 def dice_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -36,13 +65,10 @@ def dice_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean binary cross-entropy on probabilities (Loss.py:45-55),
-    gradient-safe at saturated probabilities (see _PROB_EPS note)."""
-    p = jnp.clip(pred.astype(jnp.float32), _PROB_EPS, 1.0 - _PROB_EPS)
-    t = target.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log1p(-p), _BCE_LOG_CLAMP)
-    return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
+    """Mean binary cross-entropy on probabilities — exact ``nn.BCELoss``
+    (Loss.py:45-55) including its -100 log clamp and 1e-12 gradient
+    denominator clamp (see the _bce_elem note)."""
+    return jnp.mean(_bce_elem(pred.astype(jnp.float32), target.astype(jnp.float32)))
 
 
 def bce_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, wb: float = 1.0, wd: float = 1.0) -> jnp.ndarray:
@@ -118,11 +144,9 @@ def gt_bce_dice_loss(
 
 def focal_loss(pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
     """Focal loss on probabilities (Loss.py:197-219)."""
-    p = jnp.clip(pred.astype(jnp.float32), _PROB_EPS, 1.0 - _PROB_EPS)
+    p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(p), _BCE_LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log1p(-p), _BCE_LOG_CLAMP)
-    bce = -(t * log_p + (1.0 - t) * log_1p)
+    bce = _bce_elem(p, t)  # F.binary_cross_entropy semantics (Loss.py:211)
     pt = jnp.where(t == 1.0, p, 1.0 - p)
     return jnp.mean(alpha * (1.0 - pt) ** gamma * bce)
 

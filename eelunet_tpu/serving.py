@@ -154,13 +154,16 @@ class MicroBatcher:
                                   deadline_s=deadline_s)
 
     def run_exclusive(self, thunk, items: int = 1,
-                      deadline_s: Optional[float] = None):
+                      deadline_s: Optional[float] = None,
+                      record: bool = True):
         """Run an arbitrary device job under the device lock with the same
         accounting as coalesced batches — /v1/stats must cover ALL traffic
         (pre-batched npy, float singles, and tiled native-resolution jobs
         route through here). Direct jobs count toward ``max_pending`` while
         they wait for the device; an expired ``deadline_s`` fails the job
-        with DeadlineExceeded if the wait outlived it."""
+        with DeadlineExceeded if the wait outlived it. ``record=False`` for
+        admin jobs (weight hot-swap) that must not skew the request/batch/
+        latency counters."""
         with self._pending_lock:
             self._admit(items)
             self._direct_waiting += items
@@ -179,12 +182,13 @@ class MicroBatcher:
         finally:
             with self._pending_lock:
                 self._direct_waiting -= items
-        now = time.monotonic()
-        self.requests += int(items)
-        self.batches += 1
-        self.batched_items += int(items)
-        self.device_ms.append((now - td) * 1e3)
-        self.latency_ms.append((now - t0) * 1e3)
+        if record:
+            now = time.monotonic()
+            self.requests += int(items)
+            self.batches += 1
+            self.batched_items += int(items)
+            self.device_ms.append((now - td) * 1e3)
+            self.latency_ms.append((now - t0) * 1e3)
         return out
 
     def stop(self):
@@ -366,10 +370,41 @@ class SegmentationService:
             collect=predictor.collect if two_phase else None,
             max_pending=max_pending,
         )
+        # Checkpoint hot-reload state (reload_checkpoint / POST /v1/reload).
+        self._reload_lock = threading.Lock()
+        self.reloads = 0
+        self.loaded_checkpoint: Optional[str] = None
 
     def _deadline_s(self, deadline_ms: Optional[float]) -> Optional[float]:
         ms = self.deadline_ms if deadline_ms is None else float(deadline_ms)
         return (ms / 1e3) if ms > 0 else None
+
+    def reload_checkpoint(self, checkpoint: str) -> dict:
+        """Hot-swap the Predictor's weights from ``checkpoint`` WITHOUT
+        dropping in-flight requests (the reference re-imports the model per
+        run, test.py:82-86 — no online counterpart exists upstream).
+
+        Two phases: ``Predictor.stage`` does all the slow work (disk IO,
+        orbax restore, mesh replication) off the serving path while traffic
+        keeps flowing on the old weights; ``Predictor.commit`` is an O(1)
+        pointer swap run under the MicroBatcher's device lock, so no batch
+        observes a torn params/batch_stats pair. Batches dispatched before
+        the swap hold references to the old arrays and complete normally;
+        every batch dispatched after serves the new weights."""
+        if not hasattr(self.predictor, "stage"):
+            raise ValueError(
+                "hot reload needs a checkpoint-backed Predictor "
+                "(StableHLO artifacts are frozen programs)"
+            )
+        with self._reload_lock:  # serialize concurrent reload requests
+            staged = self.predictor.stage(checkpoint)
+            self.batcher.run_exclusive(
+                lambda: self.predictor.commit(staged), items=0, record=False
+            )
+            self.reloads += 1
+            self.loaded_checkpoint = checkpoint
+        return {"status": "ok", "reloads": self.reloads,
+                "checkpoint": checkpoint}
 
     def close(self):
         self.batcher.stop()
@@ -502,6 +537,11 @@ class SegmentationService:
             "shed": b.shed,
             "expired": b.expired,
             "deadline_ms": self.deadline_ms or None,
+            # Hot-reload: completed weight swaps and the active checkpoint
+            # (None until the first reload — the boot checkpoint is the
+            # Predictor's).
+            "reloads": self.reloads,
+            "checkpoint": self.loaded_checkpoint,
             # Tail latency over the last <=2048 samples: request wall time
             # (enqueue -> result) and per-batch device time.
             "latency_ms": pct(b.latency_ms),
@@ -549,9 +589,25 @@ def make_server(service: SegmentationService, model_name: str,
             from urllib.parse import parse_qs
 
             path, _, query = self.path.partition("?")
+            n = int(self.headers.get("Content-Length", 0))
+            if path == "/v1/reload":
+                # Admin: hot-swap weights. Body = {"checkpoint": "<dir>"};
+                # in-flight and concurrent requests are never dropped
+                # (tests/test_serving.py::test_hot_reload_*).
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    ckpt = req.get("checkpoint")
+                    if not ckpt:
+                        return self._json(
+                            400, {"error": 'body must be {"checkpoint": dir}'})
+                    return self._json(200, service.reload_checkpoint(ckpt))
+                except (ValueError, FileNotFoundError) as e:
+                    return self._json(400, {"error": str(e)})
+                except Exception as e:
+                    return self._json(
+                        500, {"error": f"{type(e).__name__}: {e}"})
             if path != "/v1/predict":
                 return self._json(404, {"error": f"no route {path}"})
-            n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n)
             ctype = (self.headers.get("Content-Type") or "").lower()
             try:

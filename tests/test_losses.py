@@ -95,6 +95,59 @@ def test_gt_bce_dice(rng):
     assert abs(got - want) < 1e-4
 
 
+def test_bce_saturated_value_parity_vs_torch(rng):
+    """nn.BCELoss forward parity AT SATURATION: exact p in {0, 1}, subnormal
+    and near-saturated probabilities — the -100 log-clamp region where an
+    eps-clip implementation diverges (aten binary_cross_entropy; caught live
+    by tools/trajectory_parity.py on egeunet's saturated init)."""
+    # 2e-38 is the smallest NORMAL-range probe: XLA flushes f32 subnormals
+    # (p < 1.18e-38) to zero before the log, so that sliver of the clamp
+    # region reads -100 here vs torch's exact log — reachable only from
+    # logits in (-103, -87), far past where either framework's sigmoid is
+    # numerically meaningful. Everything >= the min normal float matches.
+    pred = np.array([0.0, 1.0, 1e-20, 1 - 1e-7, 0.5, 2e-38, 1e-44],
+                    np.float32).reshape(1, -1, 1, 1)
+    target = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 1.0],
+                      np.float32).reshape(1, -1, 1, 1)
+    got = float(L.bce_loss(jnp.array(pred), jnp.array(target)))
+    want = _torch_bce(pred, target)
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want)), (got, want)
+
+
+def test_bce_saturated_gradient_parity_vs_torch(rng):
+    """Backward parity incl. torch's 1e-12 denominator clamp: gradients at
+    exact/near saturation must match aten binary_cross_entropy_backward and
+    contain no NaN/inf (the custom-VJP guarantee)."""
+    import jax
+
+    pred = np.array([0.0, 1.0, 1e-20, 1 - 1e-6, 0.5, 0.25],
+                    np.float32).reshape(1, -1, 1, 1)
+    target = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 0.0],
+                      np.float32).reshape(1, -1, 1, 1)
+    got = np.asarray(jax.grad(
+        lambda p: L.bce_loss(p, jnp.array(target)))(jnp.array(pred)))
+    tp = torch.from_numpy(pred).requires_grad_(True)
+    F.binary_cross_entropy(tp, torch.from_numpy(target)).backward()
+    want = tp.grad.numpy()
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.0)
+
+
+def test_bce_dice_grad_finite_at_saturation(rng):
+    """The training criterion path (edge_bce_dice) stays finite when heads
+    saturate to exactly 0/1 — the TPU bf16 failure mode the VJP guards."""
+    import jax
+
+    out = np.zeros((2, 16, 16, 1), np.float32)  # all exactly 0
+    out[0, :8] = 1.0                            # and exactly 1
+    target = (rng.uniform(size=(2, 16, 16, 1)) > 0.5).astype(np.float32)
+    aux = [np.full((2, 16 // k, 16 // k, 1), v, np.float32)
+           for k, v in ((16, 0.0), (8, 1.0), (4, 0.0), (2, 1.0), (1, 0.5))]
+    g = jax.grad(lambda o: L.edge_bce_dice_loss(
+        [jnp.array(a) for a in aux], o, jnp.array(target)))(jnp.array(out))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_focal_vs_torch(rng):
     pred = _rand((2, 8, 8, 1), rng)
     target = (rng.uniform(size=(2, 8, 8, 1)) > 0.5).astype(np.float32)

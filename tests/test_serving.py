@@ -593,3 +593,119 @@ def test_service_two_phase_matches_sync_values(served):
     np.testing.assert_array_equal(got, predictor.predict_proba(x))
     m = predictor.collect(predictor.dispatch_mask_wire(x))
     np.testing.assert_array_equal(m, predictor.predict_mask_wire(x))
+
+
+# ---------------------------------------------------------- hot reload
+
+def _save_weights_ckpt(path, params, batch_stats):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), {"params": params, "batch_stats": batch_stats})
+    ckptr.wait_until_finished()
+    return str(path)
+
+
+def test_hot_reload_zero_failed_requests(tmp_path):
+    """Weight hot-swap under live traffic: every request succeeds (200),
+    the swap actually lands (post-reload outputs equal the new weights'
+    predictions), and stats count the reload."""
+    import jax
+
+    predictor = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    # Two weight sets with visibly different outputs: the boot weights and
+    # a scaled copy saved as an orbax checkpoint.
+    new_params = jax.tree_util.tree_map(lambda x: x * 1.5, predictor.params)
+    ckpt = _save_weights_ckpt(tmp_path / "w2", new_params, predictor.batch_stats)
+
+    service = SegmentationService(predictor, (32, 32), max_batch=8, window_ms=5.0)
+    server = make_server(service, "unet", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.server_address[0]}:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        # Expected outputs for both weight sets, computed through the same
+        # program before traffic starts.
+        probs_old = predictor.predict_proba(x[None])
+        saved = predictor.params
+        predictor.params = new_params
+        probs_new = predictor.predict_proba(x[None])
+        predictor.params = saved
+
+        results = []
+        stop = threading.Event()
+
+        def client():
+            while not stop.is_set():
+                code, body, _ = _post(base + "/v1/predict", _npy(x))
+                results.append((code, np.load(io.BytesIO(body)) if code == 200 else None))
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for th in threads:
+            th.start()
+        time.sleep(0.3)  # in-flight traffic on the old weights
+        code, body, _ = _post(base + "/v1/reload",
+                              json.dumps({"checkpoint": ckpt}).encode(),
+                              ctype="application/json")
+        assert code == 200, body
+        assert json.loads(body)["reloads"] == 1
+        time.sleep(0.3)  # traffic on the new weights
+        stop.set()
+        for th in threads:
+            th.join(timeout=30)
+
+        assert results, "clients made no requests"
+        codes = {c for c, _ in results}
+        assert codes == {200}, f"failed requests during reload: {codes}"
+        # every response is exactly one of the two weight sets' outputs —
+        # never a torn mix
+        n_new = 0
+        for _, probs in results:
+            d_old = float(np.abs(probs - probs_old).max())
+            d_new = float(np.abs(probs - probs_new).max())
+            assert min(d_old, d_new) < 1e-5, (d_old, d_new)
+            n_new += d_new < d_old
+        assert n_new > 0, "no request observed the new weights"
+        # the service now serves the new weights
+        code, body, _ = _post(base + "/v1/predict", _npy(x))
+        assert code == 200
+        np.testing.assert_allclose(np.load(io.BytesIO(body)), probs_new, atol=1e-6)
+        with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+            s = json.loads(r.read())
+        assert s["reloads"] == 1 and s["checkpoint"] == ckpt
+    finally:
+        server.shutdown()
+        service.close()
+
+
+def test_hot_reload_bad_requests():
+    """Reload error paths: missing body field -> 400; a predictor without
+    stage/commit (StableHLO artifact) -> ValueError."""
+    predictor = Predictor(ModelConfig(name="unet"), bucket_batches=True)
+    service = SegmentationService(predictor, (32, 32))
+    server = make_server(service, "unet", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{server.server_address[0]}:{server.server_address[1]}"
+    try:
+        code, body, _ = _post(base + "/v1/reload", b"{}", ctype="application/json")
+        assert code == 400 and b"checkpoint" in body
+        code, body, _ = _post(base + "/v1/reload",
+                              json.dumps({"checkpoint": "/does/not/exist"}).encode(),
+                              ctype="application/json")
+        assert code in (400, 500) and service.reloads == 0
+    finally:
+        server.shutdown()
+        service.close()
+
+    class _Frozen:  # artifact-style predictor: no stage/commit
+        predict_proba = staticmethod(lambda b: b)
+
+    svc = SegmentationService(_Frozen(), (32, 32))
+    try:
+        with pytest.raises(ValueError, match="hot reload"):
+            svc.reload_checkpoint("/tmp/x")
+    finally:
+        svc.close()

@@ -89,6 +89,15 @@ def _run_seed_in(scratch, model, seed, image_size, epochs, n_train, n_test,
     state, history = trainer.fit(tr, va, te, log=lambda *a: None)
     final = [m for m in history["metrics"] if m][-1]
     final["train_loss"] = history["train_loss"][-1]
+    if num_classes > 1:
+        # per-class drill-down behind the macro scalars (metrics.per_class_metrics)
+        from eelunet_tpu import metrics as M
+
+        _, accum = trainer.evaluate(state, te, return_accum=True)
+        pc = M.per_class_metrics(accum)
+        final["per_class_iou"] = [round(float(v), 4) for v in pc["iou"]]
+        final["per_class_dice"] = [round(float(v), 4) for v in pc["dice"]]
+        final["per_class_support"] = [int(v) for v in pc["support"]]
     # train-set eval, mirroring tools/reference_accuracy_bench.py: separates
     # "failed to learn" from "learned but doesn't generalize"
     tr_m = trainer.evaluate(state, tr_eval)
@@ -152,7 +161,8 @@ def main(argv=None):
         "dtype": args.dtype,
         "num_classes": args.num_classes,
         "overrides": list(args.extra_set),
-        "seeds": {str(s): {k: round(float(v), 4) for k, v in m.items()} for s, m in rows},
+        "seeds": {str(s): {k: (v if isinstance(v, list) else round(float(v), 4))
+                           for k, v in m.items()} for s, m in rows},
     }
     print(json.dumps(summary))
     return summary

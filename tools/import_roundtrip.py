@@ -3,16 +3,17 @@
 
 Extends tests/test_torch_parity.py::test_reference_evaluate_metric_parity
 (shared RANDOM-ish weights, scrubbed CPU) to GENUINELY TRAINED weights on the
-real device: the .pth comes from tools/reference_accuracy_bench.py --save_ckpt
-(the torch reference trained with its own protocol — train.py:305,312,315 —
-on the hard synthetic task), so borderline pixels are real, not synthetic.
+real device, for EVERY importable family: the .pth comes from
+tools/reference_accuracy_bench.py --save_ckpt (the torch reference trained
+with its own protocol — train.py:305,312,315 — on the hard synthetic task),
+so borderline pixels are real, not synthetic.
 
 Data: the same draws the head-to-head harness evaluates on
 (SyntheticDataset(seed=data_seed+100000, difficulty="hard")), materialized as
 a PNG tree (n_train=0 keeps the RNG stream identical) — BOTH frameworks read
 the same uint8 pixels, so any metric gap is compute-path, not data.
 
-    python tools/import_roundtrip.py \
+    python tools/import_roundtrip.py --model_type eelunet \
         --checkpoint checkpoints/ref_torch/eelunet_ref_seed7686.pth
 
 Prints a 9-metric torch-vs-TPU table with relative deltas plus one JSON line;
@@ -33,6 +34,7 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tools")
 
 KEYS = ("pixel_accuracy", "precision", "recall", "f1_score", "iou",
         "dice", "miou", "boundary_f1", "mdice")
@@ -41,6 +43,8 @@ GATED = ("iou", "dice", "miou", "mdice")
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--model_type", default="eelunet",
+                   help="any importable family (reference_accuracy_bench zoo)")
     p.add_argument("--checkpoint", required=True, help="trained reference .pth")
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--n_test", type=int, default=32)
@@ -55,6 +59,7 @@ def main(argv=None):
 
     import torch
 
+    from reference_accuracy_bench import MODEL_ZOO, wrap_eval_model
     from reference_loader import load_reference_module
 
     from eelunet_tpu.cli import evaluate as cli_evaluate
@@ -74,13 +79,13 @@ def main(argv=None):
 
     out_dir = os.path.join(wd, "imported")
     cli_import.main([
-        "--model_type", "eelunet", "--checkpoint", args.checkpoint,
+        "--model_type", args.model_type, "--checkpoint", args.checkpoint,
         "--output", out_dir, "--image_size", str(args.image_size),
         "--save_dir", os.path.join(wd, "ckpts"),
         "--set", f"model.dtype={args.dtype}",
     ])
     ours = cli_evaluate.main([
-        "--model_type", "eelunet", "--data_dir", tree,
+        "--model_type", args.model_type, "--data_dir", tree,
         "--image_size", str(args.image_size),
         "--batch_size", str(args.batch_size),
         "--checkpoint", out_dir, "--save_dir", os.path.join(wd, "ckpts"),
@@ -89,11 +94,12 @@ def main(argv=None):
 
     # Reference side: the SAME float pixels the CLI's device chain consumed
     # (uint8_feed=False reproduces the uint8 path <=1e-6, test_uint8_feed.py).
+    module_name, build, _dispatch, logits_head = MODEL_ZOO[args.model_type]
     ref_eval = load_reference_module("evaluate")
-    ref_mod = load_reference_module("models.EELUnet")
-    tm = ref_mod.EELUnet(in_channels=3, out_channels=1)
+    tm = build(load_reference_module(module_name))
     tm.load_state_dict(torch.load(args.checkpoint, map_location="cpu"))
     tm.eval()
+    tm = wrap_eval_model(tm, logits_head)
     d = DataConfig(data_dir=tree, image_size=(args.image_size, args.image_size),
                    uint8_feed=False)
     loader = JaxLoader(make_folder_dataset(d, "test"), args.batch_size,
@@ -119,7 +125,8 @@ def main(argv=None):
     verdict = "PASS" if not fails else f"FAIL {fails}"
     print(f"\nnorth-star gate (dice/iou/miou/mdice <= 0.5%): {verdict}")
     print(json.dumps({
-        "harness": "import_roundtrip", "checkpoint": args.checkpoint,
+        "harness": "import_roundtrip", "model": args.model_type,
+        "checkpoint": args.checkpoint,
         "image_size": args.image_size, "n_test": args.n_test,
         "dtype": args.dtype, "torch": ref,
         "tpu": {k: float(ours[k]) for k in KEYS},

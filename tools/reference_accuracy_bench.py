@@ -118,6 +118,28 @@ MODEL_ZOO = {
 }
 
 
+def wrap_eval_model(model, logits_head: bool):
+    """evaluate.py:92 thresholds the raw output at 0.5; for a logits head
+    that is prob 0.622, so bridge with the same sigmoid used in the loss to
+    keep the 0.5-probability operating point of every other model (and of
+    eelunet_tpu's evaluate). Identity wrap for probability-headed models."""
+    import torch
+
+    if not logits_head:
+        return model
+
+    class _SigmoidHead(torch.nn.Module):
+        def __init__(self, inner):
+            super().__init__()
+            self.inner = inner
+            self.name = inner.name
+
+        def forward(self, x):
+            return torch.sigmoid(self.inner(x))
+
+    return _SigmoidHead(model)
+
+
 def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
              batch_size: int, epochs: int, lr: float, log,
              save_ckpt: str | None = None, model_type: str = "eelunet") -> dict:
@@ -174,23 +196,7 @@ def run_seed(seed: int, image_size: int, n_train: int, n_test: int,
             f"train_loss {running / len(train_loader):.4f} "
             f"({time.time() - t0:.1f}s)")
 
-    eval_model = model
-    if logits_head:
-        # evaluate.py:92 thresholds the raw output at 0.5; for a logits head
-        # that is prob 0.622, so bridge with the same sigmoid used in the
-        # loss to keep the 0.5-probability operating point of every other
-        # model (and of eelunet_tpu's evaluate).
-        class _SigmoidHead(torch.nn.Module):
-            def __init__(self, inner):
-                super().__init__()
-                self.inner = inner
-                self.name = inner.name
-
-            def forward(self, x):
-                return torch.sigmoid(self.inner(x))
-
-        eval_model = _SigmoidHead(model)
-
+    eval_model = wrap_eval_model(model, logits_head)
     vals = eval_mod.evaluate(eval_model, test_loader, torch.device("cpu"))
     out = dict(zip(METRIC_NAMES, (float(v) for v in vals)))
     # train-set eval (same eval-mode metrics): separates "failed to learn"
