@@ -88,7 +88,7 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
 
 
 def _measure_train(model_name: str, image: int, batch: int, iters: int = 10,
-                   dtype: str = "bfloat16") -> dict:
+                   dtype: str = "bfloat16", extra_set=()) -> dict:
     """Training-step throughput (fwd+bwd+Adam+BN) with MFU + peak-HBM.
 
     Steps chain through the donated TrainState, so one final loss readback
@@ -113,6 +113,7 @@ def _measure_train(model_name: str, image: int, batch: int, iters: int = 10,
             f"data.image_size=[{image},{image}]",
             f"data.batch_size={batch}",
             "seed=0",
+            *extra_set,
         ],
     )
     trainer = Trainer(cfg, mesh=create_mesh(1, 1))
