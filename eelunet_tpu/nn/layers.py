@@ -95,19 +95,116 @@ class TorchConvTranspose(nn.Module):
         )(x)
 
 
+class _TorchExactBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's UNBIASED running-var update.
+
+    torch `_BatchNorm` normalizes with the biased batch variance but feeds the
+    Bessel-corrected (``N/(N-1)``) variance into ``running_var``
+    (aten/native/Normalization.cpp batch_norm_cpu update; contrast flax's
+    ``ra_var.value = m*ra_var + (1-m)*var`` which stores the biased var).
+    The skew is ``var/(N-1)`` per update — vanishing at production N
+    (N=B*H*W), but a measured +7e-3 absolute on unext_s running vars after
+    just 6 steps at N=4096 (tests/test_step_parity.py), i.e. a systematic
+    semantic divergence, not float drift. Only the running-update line
+    differs from the parent; normalization math is inherited unchanged via
+    the parent's private helpers (env-pinned flax)."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        from flax.linen import module as _module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = _module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stat_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stat_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                # the one divergence from the parent: Bessel-correct the
+                # variance entering the running estimate, as torch does
+                ra_var.value = self.momentum * ra_var.value + (
+                    1 - self.momentum
+                ) * var * (n / max(n - 1, 1))
+
+        return _normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 class BatchNorm(nn.Module):
-    """BatchNorm2d over NHWC channels (torch eps/momentum)."""
+    """BatchNorm2d over NHWC channels (torch eps/momentum/Bessel running var).
+
+    The child is explicitly named ``BatchNorm_0`` so checkpoint / torch_port
+    variable paths are identical to the plain ``nn.BatchNorm`` this wrapped
+    through round 3."""
 
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        return _TorchExactBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            name="BatchNorm_0",
         )(x)
 
 

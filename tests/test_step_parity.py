@@ -1,0 +1,95 @@
+"""Paired-init, paired-batch TRAINING-STEP parity as a regression test.
+
+The fast in-suite guard for what tools/trajectory_parity.py proves at scale
+(docs/results/trajectory_parity_r4/): from the torch reference's own initial
+weights (ported via models/torch_port.py) and the same batch sequence, the
+eelunet_tpu jitted train step — loss (utils/Loss.py:59-113 semantics) +
+gradients + Adam(weight_decay=1e-5) (train.py:312) — must track the reference
+loop (train.py:35-46) step for step in f32 on CPU.
+
+This is the test that caught the BCE saturation fork (losses.py `_bce_elem`):
+an eps-clip on p caps the per-pixel penalty at ~16.1 vs nn.BCELoss's 100, so
+the loss agrees at init but the TRAJECTORY forks once predictions saturate.
+A few steps on a tiny model keep it suite-cheap while still exercising loss,
+VJP, optimizer, and BN-stat semantics end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from trajectory_parity import (  # noqa: E402
+    compare_trees,
+    make_batches,
+    run_jax,
+    run_torch,
+)
+
+STEPS = 6
+IMAGE = 32
+BATCH = 4
+SEED = 7686
+LR = 1e-4
+
+
+def _quiet(_msg):
+    pass
+
+
+@pytest.mark.parametrize("family", ["unext_s", "malunet"])
+def test_step_parity_tiny(family):
+    """unext_s: logits head + BN + shift-MLP path; malunet: probability head
+    + attention bridge. Both consume the plain BceDiceLoss dispatch
+    (train.py:62-84)."""
+    from reference_accuracy_bench import MODEL_ZOO
+    from reference_loader import load_reference_module
+
+    from eelunet_tpu.models.torch_port import port_state_dict
+
+    batches, per_epoch = make_batches(SEED, IMAGE, n_train=16,
+                                      batch_size=BATCH, steps=STEPS)
+
+    import random
+
+    torch.set_num_threads(1)
+    random.seed(SEED)
+    np.random.seed(SEED)
+    torch.manual_seed(SEED)
+    module_name, build, _, _ = MODEL_ZOO[family]
+    init_sd = {k: v.detach().cpu().numpy()
+               for k, v in build(load_reference_module(module_name))
+               .state_dict().items()}
+
+    loss_t, final_sd = run_torch(family, SEED, batches, per_epoch, LR,
+                                 log=_quiet)
+    loss_j, params_j, bstats_j = run_jax(family, SEED, batches, per_epoch, LR,
+                                         init_sd, IMAGE, BATCH, log=_quiet)
+
+    lt, lj = np.asarray(loss_t), np.asarray(loss_j)
+    d = np.abs(lj - lt)
+    rel = d / (np.abs(lt) + 1e-12)
+    # Step 0 is pure forward+loss from identical weights: float-dust only.
+    assert d[0] < 1e-5, (lt[0], lj[0])
+    # Later steps accumulate f32 reduction-order drift through Adam's
+    # rsqrt amplifier; trajectory_parity measures the chaos floor at
+    # ~1e-4 relative by step 6 on these geometries — 1e-3 catches any
+    # semantic fork (the BCE eps-clip bug showed ~1e-1 here).
+    assert float(rel.max()) < 1e-3, list(zip(lt.tolist(), lj.tolist()))
+
+    ported = port_state_dict(family, final_sd)
+    p_abs, _p_rel, p_worst = compare_trees(params_j, ported["params"])
+    # Adam moves every param by <= lr per step => |dparam| <= 2*lr*STEPS
+    # even under a full sign flip; semantic forks blow well past it.
+    assert p_abs < 2 * LR * STEPS, (p_abs, p_worst)
+    if ported["batch_stats"]:
+        b_abs, _b_rel, b_worst = compare_trees(bstats_j,
+                                               ported["batch_stats"])
+        assert b_abs < 1e-3, (b_abs, b_worst)
