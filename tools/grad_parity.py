@@ -90,6 +90,49 @@ def torch_loss_grads_at(family: str, seed: int, batches, per_epoch: int,
     return float(loss.item()), sd_k, grads
 
 
+def torch_f64_oracle(family: str, sd_k, batch):
+    """The float64 TRUTH gradient at the same weights/batch: cast the
+    reference model (holding sd_k) and the batch to double and backprop once.
+    If |g_f32_torch - g_f64| ~= |g_f32_jax - g_f64| per parameter, the two
+    f32 frameworks are EQUIDISTANT from the true gradient — their mutual
+    difference is float rounding by construction, not semantics."""
+    import torch
+
+    from reference_accuracy_bench import MODEL_ZOO
+    from reference_loader import load_reference_module
+
+    torch.set_num_threads(1)
+    module_name, build, dispatch, logits_head = MODEL_ZOO[family]
+    model = build(load_reference_module(module_name)).double()
+    model.load_state_dict({k: torch.from_numpy(v).double()
+                           for k, v in sd_k.items()})
+    loss_mod = load_reference_module("utils.Loss")
+    criterion = {
+        "edge": lambda: loss_mod.edge_BceDiceLoss(wb=1, wd=1),
+        "gt": lambda: loss_mod.GT_BceDiceLoss(wb=1, wd=1),
+        "plain": lambda: loss_mod.BceDiceLoss(wb=1, wd=1),
+    }[dispatch]()
+    model.train()
+    xi, yi = batch
+    inputs = torch.from_numpy(
+        np.ascontiguousarray(xi.transpose(0, 3, 1, 2))).double()
+    labels = torch.from_numpy(
+        np.ascontiguousarray(yi.transpose(0, 3, 1, 2))).double()
+    if dispatch == "edge":
+        seg_out, edge_outs = model(inputs)
+        loss = criterion(edge_outs, seg_out, labels)
+    elif dispatch == "gt":
+        gt_pre, out = model(inputs)
+        loss = criterion(gt_pre, out, labels)
+    else:
+        out = model(inputs)
+        loss = criterion(torch.sigmoid(out) if logits_head else out, labels)
+    loss.backward()
+    grads = {n: p.grad.detach().cpu().numpy().copy()
+             for n, p in model.named_parameters() if p.grad is not None}
+    return float(loss.item()), grads
+
+
 def jax_loss_grads(family: str, sd_k, grads_t, batch, image_size: int,
                    batch_size: int):
     """Port step-k weights, compute loss+grads on the same batch; also port
@@ -167,6 +210,9 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--f64_oracle", action="store_true",
+                   help="also compute the torch-float64 truth gradient and "
+                   "report how far each f32 framework sits from it")
     args = p.parse_args(argv)
 
     batches, per_epoch = make_batches(
@@ -192,6 +238,48 @@ def main(argv=None):
             "worst": [{"rel": r, "cos": c, "gmax": s, "param": n}
                       for r, c, s, n in worst[:5]],
         }
+        if args.f64_oracle:
+            import jax
+
+            from eelunet_tpu.models.torch_port import port_state_dict
+
+            lo, grads_o = torch_f64_oracle(args.model_type, sd_k, batches[k])
+            g_sd_o = dict(grads_o)
+            for name, v in sd_k.items():
+                if name not in g_sd_o:
+                    g_sd_o[name] = np.zeros_like(v)
+            grads_o_tree = port_state_dict(args.model_type, g_sd_o)["params"]
+
+            def flat(tree):
+                return {"/".join(str(getattr(p_, "key", p_)) for p_ in path):
+                        np.asarray(v) for path, v in
+                        jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+            fo, ft, fj = flat(grads_o_tree), flat(grads_t_tree), flat(grads_j)
+            rows = []
+            for name in sorted(fo):
+                scale = float(np.abs(fo[name]).max()) + 1e-30
+                dt = float(np.abs(ft[name] - fo[name]).max()) / scale
+                dj = float(np.abs(fj[name] - fo[name]).max()) / scale
+                rows.append((name, dt, dj))
+            dts = np.array([r[1] for r in rows])
+            djs = np.array([r[2] for r in rows])
+            orc = {
+                "loss_f64": lo,
+                "dloss_torch_f32_vs_f64": abs(lt - lo),
+                "dloss_jax_f32_vs_f64": abs(lj - lo),
+                "grad_dist_torch_f32_median": float(np.median(dts)),
+                "grad_dist_jax_f32_median": float(np.median(djs)),
+                "grad_dist_torch_f32_max": float(dts.max()),
+                "grad_dist_jax_f32_max": float(djs.max()),
+            }
+            out["steps"][str(k)]["f64_oracle"] = orc
+            print(f"   f64 oracle: loss {lo:.8f} | torch f32 off by "
+                  f"{orc['dloss_torch_f32_vs_f64']:.2e}, jax f32 off by "
+                  f"{orc['dloss_jax_f32_vs_f64']:.2e} | grad dist "
+                  f"median torch {orc['grad_dist_torch_f32_median']:.2e} "
+                  f"vs jax {orc['grad_dist_jax_f32_median']:.2e}",
+                  file=sys.stderr)
     print(json.dumps(out))
 
 
