@@ -651,7 +651,17 @@ def test_hot_reload_zero_failed_requests(tmp_path):
                               ctype="application/json")
         assert code == 200, body
         assert json.loads(body)["reloads"] == 1
-        time.sleep(0.3)  # traffic on the new weights
+        # Traffic on the new weights: wait until at least one post-reload
+        # response lands (deadline-bounded, not a fixed sleep — on a loaded
+        # 1-core host a 0.3 s window can see zero client turnarounds, which
+        # flaked this test while a TPU eval hogged the core).
+        # Each of the 4 clients may have one PRE-swap request still in
+        # flight, so demand two more turnarounds per client: the second
+        # necessarily STARTED after the reload response, i.e. post-swap.
+        seen_before = len(results)
+        deadline = time.time() + 30.0
+        while len(results) < seen_before + 8 and time.time() < deadline:
+            time.sleep(0.05)
         stop.set()
         for th in threads:
             th.join(timeout=30)
