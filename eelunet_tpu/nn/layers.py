@@ -111,11 +111,29 @@ class _TorchExactBatchNorm(nn.BatchNorm):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
-        from flax.linen import module as _module
-        from flax.linen.normalization import (
-            _canonicalize_axes,
-            _compute_stats,
-            _normalize,
+        try:
+            from flax.linen import module as _module
+            from flax.linen.normalization import (
+                _canonicalize_axes,
+                _compute_stats,
+                _normalize,
+            )
+        except ImportError as e:  # pragma: no cover - flax upgrade tripwire
+            raise ImportError(
+                "_TorchExactBatchNorm mirrors flax.linen.normalization private "
+                "helpers (written against flax 0.12.x); this flax no longer "
+                "exports them. Re-derive the subclass from the new BatchNorm "
+                "body and re-run tests/test_step_parity.py + "
+                "tests/test_layers_bn.py before trusting parity."
+            ) from e
+        # Cross-replica sync would make _compute_stats return the GLOBAL
+        # variance while the local-shape n below stays per-device, corrupting
+        # the N/(N-1) Bessel factor (torch SyncBatchNorm uses the global
+        # count). The repo never syncs BN stats (DP replicates them; torch
+        # reference is single-device) — fail loudly if that ever changes.
+        assert self.axis_name is None and self.axis_index_groups is None, (
+            "_TorchExactBatchNorm does not support cross-replica stat sync; "
+            "scale n by the axis size before enabling it"
         )
 
         use_running_average = _module.merge_param(

@@ -1,0 +1,106 @@
+#!/bin/bash
+# One-command re-verification of the parity-evidence chain (VERDICT r4 #7).
+#
+# Round 4's BN Bessel fix invalidated earlier trajectory/roundtrip artifacts
+# and forced hand-run re-queues; this script automates that: after ANY
+# parity-relevant change (losses, BN, model math, importer, metrics), run
+#
+#     bash tools/regen_gates.sh            # ~1-2 h: suite guards + 128-step
+#                                          # trajectories + 64^2 roundtrips +
+#                                          # metric sweep + 1-seed multiclass
+#     FULL=1 bash tools/regen_gates.sh     # adds 256-step trajectories,
+#                                          # 256^2 roundtrips, 3-seed multiclass
+#
+# Artifacts land in /tmp/regen_gates (never overwriting docs/results/*_rN
+# evidence); a per-gate PASS/FAIL summary prints last. Exit 0 iff all gates
+# pass. Requires the retained torch ckpts in checkpoints/ref_torch_r4*
+# (regenerate with tools/reference_accuracy_bench.py --save_ckpt).
+set -u
+cd /root/repo
+OUT=${OUT:-/tmp/regen_gates}
+FULL=${FULL:-0}
+mkdir -p "$OUT"
+declare -a GATES RESULTS
+
+record() {  # name rc
+  GATES+=("$1"); RESULTS+=("$2")
+  if [ "$2" -eq 0 ]; then echo "GATE $1: PASS"; else echo "GATE $1: FAIL (rc=$2)"; fi
+}
+
+echo "=== [1] in-suite parity guards (step parity, losses, metrics, torch forward parity) ==="
+timeout 3600 python -m pytest tests/test_step_parity.py tests/test_losses.py \
+  tests/test_metrics.py tests/test_layers_bn.py tests/test_torch_parity.py \
+  -q > "$OUT/suite_guards.log" 2>&1
+record suite_guards $?
+tail -2 "$OUT/suite_guards.log"
+
+TRAJ_STEPS=128; [ "$FULL" = "1" ] && TRAJ_STEPS=256
+echo "=== [2] trajectory parity, all 6 families, $TRAJ_STEPS steps ==="
+timeout 21600 python tools/trajectory_parity.py --families all \
+  --steps "$TRAJ_STEPS" --outdir "$OUT/trajectory" \
+  > "$OUT/trajectory.log" 2>&1
+record "trajectory_parity(${TRAJ_STEPS})" $?
+grep -h '"verdict"' "$OUT/trajectory.log" | python -c \
+  "import json,sys; [print(' ', (d:=json.loads(l))['family'], d['verdict']) for l in sys.stdin]" || true
+
+echo "=== [3] trained-weights roundtrip gates (dice/iou/miou/mdice <= 0.5%) ==="
+RES=64; [ "$FULL" = "1" ] && RES=256
+rt_all=0
+declare -A RT_CKPT=(
+  [eelunet]=checkpoints/ref_torch_r4_60ep/eelunet_ref_seed7686.pth
+  [unet]=checkpoints/ref_torch_r4/unet_ref_seed7686.pth
+  [unext]=checkpoints/ref_torch_r4/unext_ref_seed7686.pth
+  [unext_s]=checkpoints/ref_torch_r4/unext_s_ref_seed7686.pth
+  [egeunet]=checkpoints/ref_torch_r4/egeunet_ref_seed7686.pth
+  [malunet]=checkpoints/ref_torch_r4/malunet_ref_seed7686.pth
+)
+for fam in eelunet unet unext unext_s egeunet malunet; do
+  ck=${RT_CKPT[$fam]}
+  if [ ! -f "$ck" ]; then
+    echo "  roundtrip_$fam: SKIP (missing $ck — regenerate via reference_accuracy_bench --save_ckpt)"
+    continue
+  fi
+  timeout 7200 python tools/import_roundtrip.py --model_type "$fam" \
+    --checkpoint "$ck" --image_size "$RES" --init_image_size 64 \
+    > "$OUT/roundtrip_${fam}.log" 2>&1
+  rc=$?; [ $rc -ne 0 ] && rt_all=1
+  echo "  roundtrip_${fam}@${RES}: rc=$rc"
+done
+record "roundtrip(${RES})" $rt_all
+
+echo "=== [4] boundary-F1 implementation sweep (cv2 vs device on identical preds) ==="
+timeout 7200 python tools/boundary_f1_sweep.py --sizes 64 128 256 \
+  > "$OUT/bf1_sweep.log" 2>&1
+rc=$?
+grep "max rel delta" "$OUT/bf1_sweep.log" || true
+record bf1_sweep $rc
+
+echo "=== [5] multi-class convergence (every per-class IoU learning) ==="
+MC_SEEDS="7686"; MC_EPOCHS=15; [ "$FULL" = "1" ] && { MC_SEEDS="7686 6716 6345"; MC_EPOCHS=30; }
+mc_all=0
+for fam in egeunet malunet; do
+  timeout 14400 python tools/accuracy_bench.py --model_type $fam \
+    --num_classes 4 --image_size 128 --epochs $MC_EPOCHS --seeds $MC_SEEDS \
+    > "$OUT/multiclass_${fam}.log" 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then
+    tail -1 "$OUT/multiclass_${fam}.log" | python -c "
+import json, sys
+d = json.loads(sys.stdin.read())
+worst = min(min(m['per_class_iou']) for m in d['seeds'].values())
+print(f'  multiclass_{\"$fam\"}: worst per-class IoU {worst:.4f}')
+sys.exit(0 if worst > 0.3 else 1)"
+    rc=$?
+  fi
+  [ $rc -ne 0 ] && mc_all=1
+  echo "  multiclass_${fam}: rc=$rc"
+done
+record multiclass $mc_all
+
+echo
+echo "=== regen_gates summary ==="
+fail=0
+for i in "${!GATES[@]}"; do
+  if [ "${RESULTS[$i]}" -eq 0 ]; then echo "PASS ${GATES[$i]}"; else echo "FAIL ${GATES[$i]}"; fail=1; fi
+done
+exit $fail
