@@ -33,7 +33,6 @@ from trajectory_parity import (  # noqa: E402
     run_torch,
 )
 
-STEPS = 6
 IMAGE = 32
 BATCH = 4
 SEED = 7686
@@ -44,11 +43,17 @@ def _quiet(_msg):
     pass
 
 
-@pytest.mark.parametrize("family", ["unext_s", "malunet"])
-def test_step_parity_tiny(family):
+@pytest.mark.parametrize("family,STEPS", [("unext_s", 6), ("malunet", 6),
+                                          ("eelunet", 4)])
+def test_step_parity(family, STEPS):
     """unext_s: logits head + BN + shift-MLP path; malunet: probability head
     + attention bridge. Both consume the plain BceDiceLoss dispatch
-    (train.py:62-84)."""
+    (train.py:62-84). eelunet (VERDICT r4 #4): the flagship's custom pieces —
+    edge_BceDiceLoss max-pool pyramid (Loss.py:92-113), the low-rank
+    high-pass custom VJP (ops/fft.py), PredictionGuidedRefinement f32
+    sigmoid gating, _TorchExactBatchNorm Bessel running-var, and the
+    concat-bridge import permutation (torch_port) — all under the jitted
+    train step, tracked against the reference loop (train.py:35-46)."""
     from reference_accuracy_bench import MODEL_ZOO
     from reference_loader import load_reference_module
 
@@ -76,20 +81,36 @@ def test_step_parity_tiny(family):
     lt, lj = np.asarray(loss_t), np.asarray(loss_j)
     d = np.abs(lj - lt)
     rel = d / (np.abs(lt) + 1e-12)
+    # Per-family tolerances: (step-0 rel, trajectory max rel, bstats abs).
+    # Tiny families: chaos floor ~1e-4 rel by step 6 (trajectory_parity_r4);
+    # 1e-3 catches any semantic fork (the BCE eps-clip bug showed ~1e-1).
+    # eelunet: 26M params + 6-term deep-supervision loss + the low-rank
+    # high-pass float path drift faster — measured at THIS geometry (4 steps,
+    # 32^2, b4, paired torch chaos twin perturb=1e-7/step): step-0 rel
+    # 1.3e-5, trajectory max rel 9.4e-4 riding a same-order torch-vs-torch
+    # floor (1.2e-3 by step 2), BN running-var dust 1.9e-2 on O(1-10)
+    # values. Bounds below give ~10x slack over those floors while sitting
+    # 10-100x under fork scale.
+    step0_rel, traj_rel, bs_tol = {
+        "eelunet": (2e-4, 1e-2, 1e-1),
+    }.get(family, (None, 1e-3, 1e-3))
     # Step 0 is pure forward+loss from identical weights: float-dust only.
-    assert d[0] < 1e-5, (lt[0], lj[0])
-    # Later steps accumulate f32 reduction-order drift through Adam's
-    # rsqrt amplifier; trajectory_parity measures the chaos floor at
-    # ~1e-4 relative by step 6 on these geometries — 1e-3 catches any
-    # semantic fork (the BCE eps-clip bug showed ~1e-1 here).
-    assert float(rel.max()) < 1e-3, list(zip(lt.tolist(), lj.tolist()))
+    if step0_rel is None:
+        assert d[0] < 1e-5, (lt[0], lj[0])
+    else:
+        assert rel[0] < step0_rel, (lt[0], lj[0])
+    assert float(rel.max()) < traj_rel, list(zip(lt.tolist(), lj.tolist()))
 
     ported = port_state_dict(family, final_sd)
     p_abs, _p_rel, p_worst = compare_trees(params_j, ported["params"])
-    # Adam moves every param by <= lr per step => |dparam| <= 2*lr*STEPS
-    # even under a full sign flip; semantic forks blow well past it.
-    assert p_abs < 2 * LR * STEPS, (p_abs, p_worst)
+    # Empirical drift bound, not a strict invariant: a single Adam step can
+    # transiently exceed lr by up to ~(1-b1)/sqrt(1-b2) ~= 3.2x before the
+    # moment estimates settle, so the worst-case two-trajectory divergence
+    # over STEPS steps is ~2*3.2*lr*STEPS under a full sign flip. Observed
+    # forks (e.g. the BCE eps-clip bug) blow past this by orders of
+    # magnitude, so the slack costs no sensitivity.
+    assert p_abs < 8 * LR * STEPS, (p_abs, p_worst)
     if ported["batch_stats"]:
         b_abs, _b_rel, b_worst = compare_trees(bstats_j,
                                                ported["batch_stats"])
-        assert b_abs < 1e-3, (b_abs, b_worst)
+        assert b_abs < bs_tol, (b_abs, b_worst)
