@@ -73,11 +73,15 @@ def main(argv=None):
         if not os.path.exists(ckpt):
             print(f"| {tag} | - | - | MISSING {ckpt} | | | |")
             continue
-        module_name, build, _dispatch, logits_head = MODEL_ZOO[fam]
+        module_name, build, dispatch, logits_head = MODEL_ZOO[fam]
         tm = build(load_reference_module(module_name))
         tm.load_state_dict(torch.load(ckpt, map_location="cpu"))
         tm.eval()
         tm = wrap_eval_model(tm, logits_head)
+        # output dispatch, evaluate.py:84-89: edge models return (seg, edges),
+        # gt models return (gt_pre, out)
+        unpack = {"edge": lambda o: o[0], "gt": lambda o: o[1]}.get(
+            dispatch, lambda o: o)
         for size in args.sizes:
             ds = SyntheticDataset(
                 n=args.n_test, image_size=(size, size),
@@ -88,7 +92,7 @@ def main(argv=None):
                 xs, ys = zip(*[ds[i] for i in range(i0, min(i0 + args.batch_size, args.n_test))])
                 x = torch.from_numpy(np.stack(xs).transpose(0, 3, 1, 2))
                 with torch.no_grad():
-                    out = tm(x)
+                    out = unpack(tm(x))
                 preds_list.append((out.numpy() > 0.5).astype(np.float32))
                 gts_list.append((np.stack(ys).transpose(0, 3, 1, 2) > 0.5).astype(np.float32))
             preds = np.concatenate(preds_list)  # (N,1,H,W) identical arrays for both paths

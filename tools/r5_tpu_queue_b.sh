@@ -35,12 +35,10 @@ rt() {  # fam ckpt size tag  (plain draws)
 rt eelunet checkpoints/ref_torch_r4_60ep/eelunet_ref_seed7686.pth 256 eelunet_256
 rt unet    checkpoints/ref_torch_r4/unet_ref_seed7686.pth         256 unet_256
 
-echo "=== [2/3] boundary-F1 cv2-vs-device sweep on identical preds ==="
-timeout 7200 python tools/boundary_f1_sweep.py --sizes 64 128 256 \
-  > docs/results/boundary_f1_sweep_r5.txt 2> /tmp/r5_logs/bf1_sweep.err
-echo "bf1_sweep rc=$?"
+# boundary_f1_sweep runs separately on the scrubbed CPU backend (the
+# reduce_window path is backend-agnostic XLA; keeps the tunnel free).
 
-echo "=== [3/3] inference levers A/B (bf16-resident params, BN-fold ceiling) ==="
+echo "=== [2/2] inference levers A/B (bf16-resident params, BN-fold ceiling) ==="
 timeout 7200 python tools/infer_levers_ab.py \
   > docs/results/infer_levers_ab_r5.txt 2> /tmp/r5_logs/levers.err
 echo "infer_levers rc=$?"
