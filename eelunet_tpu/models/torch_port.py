@@ -368,6 +368,94 @@ def port_state_dict(model_name: str, sd: Dict[str, np.ndarray]) -> Dict[str, Any
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _concat_to_interleave(kernel):
+    """Inverse of _interleave_to_concat: cin [d...|e...] -> [d0,e0,d1,e1,..]."""
+    n = kernel.shape[-2] // 2
+    out = np.empty_like(kernel)
+    out[..., 0::2, :] = kernel[..., :n, :]
+    out[..., 1::2, :] = kernel[..., n:, :]
+    return out
+
+
+def export_state_dict(model_name: str, variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_state_dict`: flax ``variables`` -> a reference
+    ``state_dict`` (name -> numpy) that ``load_state_dict(strict=True)`` s
+    into the reference torch model.
+
+    This is the MIGRATION-OUT surface the reference lacks entirely: weights
+    trained here (e.g. at resolutions the reference's single-core training
+    could never reach) drop back into the upstream eval/serving stack
+    (evaluate.py:172-176, test.py:82-86). Every layout conversion documented
+    in the module docstring is applied in reverse; ``num_batches_tracked``
+    buffers are emitted as zeros (torch ``_BatchNorm`` state that has no
+    flax counterpart and does not affect eval-mode math).
+
+    Round-trip identity (port(export(v)) == v bit-for-bit) and torch
+    forward parity are pinned by tests/test_torch_export.py.
+    """
+    if model_name not in RULES:
+        raise KeyError(
+            f"no torch export mapping for model '{model_name}' "
+            f"(supported: {sorted(RULES)})"
+        )
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+
+    def grab(tree: Dict[str, Any], path: str) -> np.ndarray:
+        node = tree
+        for p in path.split("/"):
+            if not isinstance(node, dict) or p not in node:
+                raise KeyError(f"{model_name}: flax tree is missing '{path}'")
+            node = node[p]
+        return np.asarray(node, dtype=np.float32)
+
+    def has(tree: Dict[str, Any], path: str) -> bool:
+        node = tree
+        for p in path.split("/"):
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
+    sd: Dict[str, np.ndarray] = {}
+    for flax_dir, tp, kind in RULES[model_name]():
+        if kind in ("conv", "conv_il"):
+            w = grab(params, f"{flax_dir}/kernel")
+            if kind == "conv_il":
+                w = _concat_to_interleave(w)
+            sd[f"{tp}.weight"] = np.transpose(w, (3, 2, 0, 1))
+            if has(params, f"{flax_dir}/bias"):
+                sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+        elif kind == "convt":
+            w = grab(params, f"{flax_dir}/kernel")[::-1, ::-1]
+            sd[f"{tp}.weight"] = np.transpose(w, (2, 3, 0, 1)).copy()
+            sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+        elif kind == "conv1d":
+            w = grab(params, f"{flax_dir}/kernel")  # (k,1,I,O)
+            sd[f"{tp}.weight"] = np.transpose(w, (3, 2, 0, 1))[:, :, :, 0].copy()
+            if has(params, f"{flax_dir}/bias"):
+                sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+        elif kind == "dense":
+            sd[f"{tp}.weight"] = grab(params, f"{flax_dir}/kernel").T.copy()
+            sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+        elif kind == "ea_dense":
+            sd[f"{tp}.weight"] = grab(params, flax_dir).T[:, :, None].copy()
+        elif kind == "ghpa_param":
+            sd[tp] = np.transpose(grab(params, flax_dir), (0, 3, 1, 2)).copy()
+        elif kind in ("ln", "gn"):
+            sd[f"{tp}.weight"] = grab(params, f"{flax_dir}/scale")
+            sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+        elif kind == "bn":
+            sd[f"{tp}.weight"] = grab(params, f"{flax_dir}/scale")
+            sd[f"{tp}.bias"] = grab(params, f"{flax_dir}/bias")
+            sd[f"{tp}.running_mean"] = grab(batch_stats, f"{flax_dir}/mean")
+            sd[f"{tp}.running_var"] = grab(batch_stats, f"{flax_dir}/var")
+            sd[f"{tp}.num_batches_tracked"] = np.zeros((), dtype=np.int64)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown rule kind {kind}")
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference ``.pth`` into a name->numpy dict (CPU, no grads)."""
     import torch
