@@ -51,6 +51,22 @@ def _measure(model_name: str, image: int, batch: int, iters: int, warmup: int, d
     # initialize at 64x64 (fast compile) and reuse for the target size.
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
 
+    # Eval-time BN folding where a fold map exists (bnfold.py) — the
+    # Predictor's default inference config since round 5 (+4.8% on eelunet
+    # 512^2 b16: BN affines ride as jit arguments, so XLA can't fold them
+    # out itself; exactness pinned by tests/test_bnfold.py).
+    from eelunet_tpu.bnfold import FOLDABLE_MODELS, fold_bn_eval
+
+    if model_name in FOLDABLE_MODELS:
+        p2, b2, n_folded = fold_bn_eval(
+            model_name, variables["params"], variables.get("batch_stats", {}))
+        if n_folded:
+            model = model.clone(bn_folded=True)
+            variables = {
+                "params": jax.tree_util.tree_map(jnp.asarray, p2),
+                "batch_stats": jax.tree_util.tree_map(jnp.asarray, b2),
+            }
+
     # Weights are passed as jit ARGUMENTS, never closed over: closed-over
     # params become jaxpr constants, and XLA keeps their f32->bf16
     # weight-prep inside the scan body instead of hoisting it — measured

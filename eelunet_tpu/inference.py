@@ -38,6 +38,7 @@ class Predictor:
         tta: bool = False,
         quantize: Optional[str] = None,
         proba_wire_dtype: Optional[str] = "auto",
+        fold_bn: Any = "auto",
     ):
         """``bucket_batches`` pads each batch up to a bucket size before the
         jitted forward and slices the outputs back, so serving traffic with
@@ -86,8 +87,27 @@ class Predictor:
         variables = self.model.init(jax.random.PRNGKey(0), sample)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
+        # Eval-time BN folding (bnfold.py): conv-adjacent BN affines absorbed
+        # into conv weights at load, BN ops compiled out — measured +4.8% on
+        # the eelunet 512^2 b16 headline (docs/PERF.md round 5; exactness
+        # pinned by tests/test_bnfold.py). "auto" folds the families with a
+        # fold map; slim (physically pruned) checkpoints are left unfolded
+        # (separate module path). fold_bn=False pins the unfolded graph.
+        from eelunet_tpu.bnfold import FOLDABLE_MODELS
+
+        self._model_name = model_cfg.name
+        if fold_bn == "auto":
+            self._fold_bn = model_cfg.name in FOLDABLE_MODELS
+        else:
+            self._fold_bn = bool(fold_bn)
+            if self._fold_bn and model_cfg.name not in FOLDABLE_MODELS:
+                raise ValueError(
+                    f"fold_bn=True: no BN fold map for '{model_cfg.name}' "
+                    f"(supported: {FOLDABLE_MODELS})")
         if checkpoint:
             self.load(checkpoint)
+        elif self._fold_bn:
+            self.commit(self._fold(self.params, self.batch_stats))
         if mesh is not None:
             self._replicate_weights()
 
@@ -161,6 +181,23 @@ class Predictor:
         self._forward = _forward
         self._forward_mask = _forward_mask
 
+    def _fold(self, params, batch_stats, replicate: bool = False):
+        """Produce a (folded_model, params', batch_stats') staged tuple for
+        ``commit`` — BN affines absorbed, BN entries stripped to match the
+        ``bn_folded=True`` module structure."""
+        from eelunet_tpu.bnfold import fold_bn_eval
+
+        params, batch_stats, _n = fold_bn_eval(self._model_name, params, batch_stats)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, batch_stats)
+        if replicate and self._batch_sharding is not None:
+            params = jax.device_put(params, self._replicated)
+            batch_stats = jax.device_put(batch_stats, self._replicated)
+        # n=0 (unet: no BN) -> nothing stripped, keep the module as-is;
+        # clone(bn_folded=True) is idempotent across hot reloads.
+        model = self.model.clone(bn_folded=True) if _n else None
+        return (model, params, batch_stats)
+
     def _replicate_weights(self):
         """One-time placement: weights live replicated on every mesh device
         so predict_proba never re-transfers them."""
@@ -199,6 +236,8 @@ class Predictor:
             tree = ocp.StandardCheckpointer().restore(os.path.abspath(checkpoint))
             params = tree["params"]
             batch_stats = tree["batch_stats"]
+            if self._fold_bn:
+                return self._fold(params, batch_stats, replicate=True)
         if self._batch_sharding is not None:
             params = jax.device_put(params, self._replicated)
             batch_stats = jax.device_put(batch_stats, self._replicated)

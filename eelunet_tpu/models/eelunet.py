@@ -222,14 +222,18 @@ class MlpConvBlock(nn.Module):
     features: int
     features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
+    bn_folded: bool = False  # see nn/layers.ConvBlock.bn_folded
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bn = not (self.bn_folded and not train)
         x = TorchConv(self.features_mid or self.features, (3, 3), dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        if bn:
+            x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        if bn:
+            x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         return x
 
@@ -239,11 +243,13 @@ class UpConvBN(nn.Module):
 
     features: int
     dtype: Optional[Dtype] = None
+    bn_folded: bool = False  # see nn/layers.ConvBlock.bn_folded
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConvTranspose(self.features, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        if not (self.bn_folded and not train):
+            x = BatchNorm(dtype=self.dtype)(x, train)
         return x
 
 
@@ -257,12 +263,14 @@ class MlpUpConvBlock(nn.Module):
     features: int
     features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
+    bn_folded: bool = False  # see nn/layers.ConvBlock.bn_folded
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchConvTranspose(self.features_mid or self.features, dtype=self.dtype)(x)
         x = ChannelAwarePatchedMLP(self.features, dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+        if not (self.bn_folded and not train):
+            x = BatchNorm(dtype=self.dtype)(x, train)
         return x
 
 
@@ -279,18 +287,24 @@ class EELUnet(nn.Module):
     # over it, so slicing there would change the function).
     widths: Optional[Tuple[Tuple[str, int], ...]] = None
     dtype: Optional[Dtype] = None
+    # True = weights were pre-folded by bnfold.fold_bn_eval: every
+    # conv-adjacent BN call site vanishes from the eval graph (+4.8% at the
+    # 512^2 b16 headline, docs/PERF.md round 5). bottleneck_bn stays live
+    # (BN-before-conv would leak its affine into SAME padding). Eval-only.
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> ModelOutput:
+        assert not (self.bn_folded and train), "bn_folded models are eval-only"
         dt = self.dtype
         wd = dict(self.widths or ())
         w = lambda name, default: wd.get(name, default)
 
         # Encoder (EELUnet.py:237-252, forward 387-407)
-        enc1 = ConvBlock(w("e1", 64), use_bn=True, features_mid=w("e1a", 64), dtype=dt, name="enc1")(x, train)
-        enc2 = ConvBlock(w("e2", 128), use_bn=True, features_mid=w("e2a", 128), dtype=dt, name="enc2")(max_pool2d(enc1, 2), train)
-        enc3 = MlpConvBlock(w("e3", 256), features_mid=w("e3a", 256), dtype=dt, name="enc3")(max_pool2d(enc2, 2), train)
-        enc4 = MlpConvBlock(w("e4", 512), features_mid=w("e4a", 512), dtype=dt, name="enc4")(max_pool2d(enc3, 2), train)
+        enc1 = ConvBlock(w("e1", 64), use_bn=True, features_mid=w("e1a", 64), dtype=dt, bn_folded=self.bn_folded, name="enc1")(x, train)
+        enc2 = ConvBlock(w("e2", 128), use_bn=True, features_mid=w("e2a", 128), dtype=dt, bn_folded=self.bn_folded, name="enc2")(max_pool2d(enc1, 2), train)
+        enc3 = MlpConvBlock(w("e3", 256), features_mid=w("e3a", 256), dtype=dt, bn_folded=self.bn_folded, name="enc3")(max_pool2d(enc2, 2), train)
+        enc4 = MlpConvBlock(w("e4", 512), features_mid=w("e4a", 512), dtype=dt, bn_folded=self.bn_folded, name="enc4")(max_pool2d(enc3, 2), train)
 
         # Bottleneck: BN -> conv3x3 512->1024 -> ReLU -> CAPMLP -> ReLU (255-261)
         b = max_pool2d(enc4, 2)
@@ -303,40 +317,40 @@ class EELUnet(nn.Module):
         bottleneck, edge_5 = PredictionGuidedRefinement(dtype=dt, name="pred5")(bottleneck)
 
         # Auxiliary edge branch, sequential from the bottleneck (300-328, 415-418)
-        e4 = MlpUpConvBlock(w("eu4", 512), features_mid=w("eu4ct", 512), dtype=dt, name="edge_up4")(bottleneck, train)
-        edge_dec4 = MlpConvBlock(w("d4sum", 512), features_mid=w("ec4a", 512), dtype=dt, name="edge_conv4")(e4, train)
-        e3 = MlpUpConvBlock(w("eu3", 256), features_mid=w("eu3ct", 256), dtype=dt, name="edge_up3")(edge_dec4, train)
-        edge_dec3 = MlpConvBlock(w("d3sum", 256), features_mid=w("ec3a", 256), dtype=dt, name="edge_conv3")(e3, train)
-        e2 = UpConvBN(w("eu2", 128), dtype=dt, name="edge_up2")(edge_dec3, train)
+        e4 = MlpUpConvBlock(w("eu4", 512), features_mid=w("eu4ct", 512), dtype=dt, bn_folded=self.bn_folded, name="edge_up4")(bottleneck, train)
+        edge_dec4 = MlpConvBlock(w("d4sum", 512), features_mid=w("ec4a", 512), dtype=dt, bn_folded=self.bn_folded, name="edge_conv4")(e4, train)
+        e3 = MlpUpConvBlock(w("eu3", 256), features_mid=w("eu3ct", 256), dtype=dt, bn_folded=self.bn_folded, name="edge_up3")(edge_dec4, train)
+        edge_dec3 = MlpConvBlock(w("d3sum", 256), features_mid=w("ec3a", 256), dtype=dt, bn_folded=self.bn_folded, name="edge_conv3")(e3, train)
+        e2 = UpConvBN(w("eu2", 128), dtype=dt, bn_folded=self.bn_folded, name="edge_up2")(edge_dec3, train)
         e2 = high_pass_fft(e2, self.mask_range, self.highpass_impl)
-        edge_dec2 = ConvBlock(w("d2sum", 128), use_bn=True, features_mid=w("ec2a", 128), dtype=dt, name="edge_conv2")(e2, train)
-        e1 = UpConvBN(w("eu1", 64), dtype=dt, name="edge_up1")(edge_dec2, train)
+        edge_dec2 = ConvBlock(w("d2sum", 128), use_bn=True, features_mid=w("ec2a", 128), dtype=dt, bn_folded=self.bn_folded, name="edge_conv2")(e2, train)
+        e1 = UpConvBN(w("eu1", 64), dtype=dt, bn_folded=self.bn_folded, name="edge_up1")(edge_dec2, train)
         e1 = high_pass_fft(e1, self.mask_range, self.highpass_impl)
-        edge_dec1 = ConvBlock(w("d1sum", 64), use_bn=True, features_mid=w("ec1a", 64), dtype=dt, name="edge_conv1")(e1, train)
+        edge_dec1 = ConvBlock(w("d1sum", 64), use_bn=True, features_mid=w("ec1a", 64), dtype=dt, bn_folded=self.bn_folded, name="edge_conv1")(e1, train)
 
         # Main decoder (421-460): upconv -> +edge -> interleave skip -> block
-        dec4 = MlpUpConvBlock(w("d4sum", 512), features_mid=w("u4ct", 512), dtype=dt, name="upconv4")(bottleneck, train)
+        dec4 = MlpUpConvBlock(w("d4sum", 512), features_mid=w("u4ct", 512), dtype=dt, bn_folded=self.bn_folded, name="upconv4")(bottleneck, train)
         dec4 = dec4 + edge_dec4
         dec4 = jnp.concatenate([dec4, center_crop(enc4, dec4.shape[1], dec4.shape[2])], axis=-1)
-        dec4 = MlpConvBlock(w("d4", 512), features_mid=w("d4a", 512), dtype=dt, name="dec4")(dec4, train)
+        dec4 = MlpConvBlock(w("d4", 512), features_mid=w("d4a", 512), dtype=dt, bn_folded=self.bn_folded, name="dec4")(dec4, train)
 
         dec3, edge_4 = PredictionGuidedRefinement(dtype=dt, name="pred4")(dec4)
-        dec3 = MlpUpConvBlock(w("d3sum", 256), features_mid=w("u3ct", 256), dtype=dt, name="upconv3")(dec3, train)
+        dec3 = MlpUpConvBlock(w("d3sum", 256), features_mid=w("u3ct", 256), dtype=dt, bn_folded=self.bn_folded, name="upconv3")(dec3, train)
         dec3 = dec3 + edge_dec3
         dec3 = jnp.concatenate([dec3, center_crop(enc3, dec3.shape[1], dec3.shape[2])], axis=-1)
-        dec3 = MlpConvBlock(w("d3", 256), features_mid=w("d3a", 256), dtype=dt, name="dec3")(dec3, train)
+        dec3 = MlpConvBlock(w("d3", 256), features_mid=w("d3a", 256), dtype=dt, bn_folded=self.bn_folded, name="dec3")(dec3, train)
 
         dec2, edge_3 = PredictionGuidedRefinement(dtype=dt, name="pred3")(dec3)
-        dec2 = UpConvBN(w("d2sum", 128), dtype=dt, name="upconv2")(dec2, train)
+        dec2 = UpConvBN(w("d2sum", 128), dtype=dt, bn_folded=self.bn_folded, name="upconv2")(dec2, train)
         dec2 = dec2 + edge_dec2
         dec2 = jnp.concatenate([dec2, center_crop(enc2, dec2.shape[1], dec2.shape[2])], axis=-1)
-        dec2 = ConvBlock(w("d2", 128), use_bn=True, features_mid=w("d2a", 128), dtype=dt, name="dec2")(dec2, train)
+        dec2 = ConvBlock(w("d2", 128), use_bn=True, features_mid=w("d2a", 128), dtype=dt, bn_folded=self.bn_folded, name="dec2")(dec2, train)
 
         dec1, edge_2 = PredictionGuidedRefinement(dtype=dt, name="pred2")(dec2)
-        dec1 = UpConvBN(w("d1sum", 64), dtype=dt, name="upconv1")(dec1, train)
+        dec1 = UpConvBN(w("d1sum", 64), dtype=dt, bn_folded=self.bn_folded, name="upconv1")(dec1, train)
         dec1 = dec1 + edge_dec1
         dec1 = jnp.concatenate([dec1, center_crop(enc1, dec1.shape[1], dec1.shape[2])], axis=-1)
-        dec1 = ConvBlock(64, use_bn=True, features_mid=w("d1a", 64), dtype=dt, name="dec1")(dec1, train)
+        dec1 = ConvBlock(64, use_bn=True, features_mid=w("d1a", 64), dtype=dt, bn_folded=self.bn_folded, name="dec1")(dec1, train)
 
         seg, edge_1 = PredictionGuidedRefinement(dtype=dt, name="pred1")(dec1)
 

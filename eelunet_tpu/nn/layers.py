@@ -319,15 +319,20 @@ class ConvBlock(nn.Module):
     use_bn: bool = True
     features_mid: Optional[int] = None
     dtype: Optional[Dtype] = None
+    # True = BN affines were absorbed into the conv weights at load time
+    # (bnfold.fold_bn_eval); the BN call sites vanish from the eval graph.
+    # Eval-only: training a folded model is a usage error (no BN params).
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        bn = self.use_bn and not (self.bn_folded and not train)
         x = TorchConv(self.features_mid or self.features, (3, 3), dtype=self.dtype)(x)
-        if self.use_bn:
+        if bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = TorchConv(self.features, (3, 3), dtype=self.dtype)(x)
-        if self.use_bn:
+        if bn:
             x = BatchNorm(dtype=self.dtype)(x, train)
         x = nn.relu(x)
         return x
