@@ -41,7 +41,20 @@ import numpy as np
 
 EPS = 1e-5  # nn/layers.BatchNorm epsilon (torch BatchNorm2d default)
 
-FOLDABLE_MODELS = ("eelunet", "unet")  # unet: no BN -> no-op fold
+FOLDABLE_MODELS = ("eelunet", "unet", "unext", "unext_s")  # unet: no BN -> no-op fold
+
+# Families whose conv->BN pairs are NAMED modules at the model root rather
+# than auto-numbered siblings (models/unext.py:163-203: encoderN -> ebnN,
+# decoderN -> dbnN; the BN output feeds max_pool/relu/upsample — all safe
+# to fold through, the rewrite is an exact affine refactor of the conv).
+# egeunet's Down blocks and the eelunet bottleneck are BN->conv (pre-conv:
+# the affine would leak into SAME padding) and malunet uses GroupNorm —
+# neither is foldable.
+NAMED_PAIRS = {
+    "unext": [(f"encoder{i}", f"ebn{i}") for i in (1, 2, 3)]
+    + [(f"decoder{i}", f"dbn{i}") for i in (1, 2, 3, 4)],
+}
+NAMED_PAIRS["unext_s"] = NAMED_PAIRS["unext"]
 
 
 def _is_bn_wrapper(node) -> bool:
@@ -126,6 +139,8 @@ def fold_bn_eval(model_name: str, params: Dict[str, Any],
     params = jax.tree_util.tree_map(np.asarray, params)
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats)
     pairs, _skipped = find_fold_pairs(params)
+    pairs += [(c, b) for c, b in NAMED_PAIRS.get(model_name, ())
+              if b in params and c in params]
     for conv_dir, bn_dir in pairs:
         bnp = _get(params, bn_dir)["BatchNorm_0"]
         bns = _get(batch_stats, bn_dir)["BatchNorm_0"]

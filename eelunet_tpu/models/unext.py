@@ -152,21 +152,29 @@ class _UNextBase(nn.Module):
     num_classes: int = 1
     dims: Tuple[int, int, int, int, int] = (16, 32, 128, 160, 256)
     dtype: Optional[Dtype] = None
+    # True = the 7 conv-adjacent BN affines (ebn1-3, dbn1-4) were absorbed
+    # into their conv weights at load (bnfold.fold_bn_eval; eval-only).
+    bn_folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> ModelOutput:
+        assert not (self.bn_folded and train), "bn_folded models are eval-only"
         dt = self.dtype
         c1, c2, e0, e1, e2 = self.dims
         up = lambda t: upsample2x_bilinear(t, align_corners=False)
+        if self.bn_folded:
+            bn = lambda name, y, tr: y
+        else:
+            bn = lambda name, y, tr: BatchNorm(dtype=dt, name=name)(y, tr)
 
         # Conv stages (forward 267-274)
-        out = nn.relu(max_pool2d(BatchNorm(dtype=dt, name="ebn1")(
+        out = nn.relu(max_pool2d(bn("ebn1",
             TorchConv(c1, (3, 3), dtype=dt, name="encoder1")(x), train), 2))
         t1 = out
-        out = nn.relu(max_pool2d(BatchNorm(dtype=dt, name="ebn2")(
+        out = nn.relu(max_pool2d(bn("ebn2",
             TorchConv(c2, (3, 3), dtype=dt, name="encoder2")(out), train), 2))
         t2 = out
-        out = nn.relu(max_pool2d(BatchNorm(dtype=dt, name="ebn3")(
+        out = nn.relu(max_pool2d(bn("ebn3",
             TorchConv(e0, (3, 3), dtype=dt, name="encoder3")(out), train), 2))
         t3 = out
 
@@ -182,24 +190,24 @@ class _UNextBase(nn.Module):
         out = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32, name="norm4")(out)
 
         # Decoder stage 4 (296-302)
-        out = nn.relu(up(BatchNorm(dtype=dt, name="dbn1")(
+        out = nn.relu(up(bn("dbn1",
             TorchConv(e1, (3, 3), dtype=dt, name="decoder1")(out), train)))
         out = out + t4
         out = ShiftedBlock(e1, dtype=dt, name="dblock1")(out, train)
         out = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32, name="dnorm3")(out)
 
         # Decoder stage 3 (306-316)
-        out = nn.relu(up(BatchNorm(dtype=dt, name="dbn2")(
+        out = nn.relu(up(bn("dbn2",
             TorchConv(e0, (3, 3), dtype=dt, name="decoder2")(out), train)))
         out = out + t3
         out = ShiftedBlock(e0, dtype=dt, name="dblock2")(out, train)
         out = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32, name="dnorm4")(out)
 
         # Decoder tail (319-325)
-        out = nn.relu(up(BatchNorm(dtype=dt, name="dbn3")(
+        out = nn.relu(up(bn("dbn3",
             TorchConv(c2, (3, 3), dtype=dt, name="decoder3")(out), train)))
         out = out + t2
-        out = nn.relu(up(BatchNorm(dtype=dt, name="dbn4")(
+        out = nn.relu(up(bn("dbn4",
             TorchConv(c1, (3, 3), dtype=dt, name="decoder4")(out), train)))
         out = out + t1
         out = nn.relu(up(TorchConv(c1, (3, 3), dtype=dt, name="decoder5")(out)))

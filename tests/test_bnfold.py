@@ -89,7 +89,29 @@ def test_unet_fold_is_noop_and_others_raise():
                            variables.get("batch_stats", {}))
     assert n == 0
     with pytest.raises(ValueError, match="BN folding"):
-        fold_bn_eval("unext_s", {}, {})
+        fold_bn_eval("malunet", {}, {})
+
+
+def test_unext_s_fold_is_same_function():
+    """Named-pair map (encoderN->ebnN, decoderN->dbnN): BN feeds
+    max_pool/relu/upsample — fold must still be the exact affine refactor."""
+    model = _build("unext_s")()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = _randomized_bn(variables, rng)
+
+    out0 = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    params2, bstats2, n = fold_bn_eval(
+        "unext_s", variables["params"], variables["batch_stats"])
+    assert n == 7, n  # ebn1-3 + dbn1-4; no other BN in the family
+    assert bstats2 == {}  # every stat was a folded BN's
+
+    folded = model.clone(bn_folded=True)
+    out1 = jax.jit(lambda v, x: folded.apply(v, x, train=False))(
+        {"params": params2}, x)
+    np.testing.assert_allclose(np.asarray(out1.seg), np.asarray(out0.seg),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_bn_folded_train_asserts():
